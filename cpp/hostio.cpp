@@ -1,0 +1,754 @@
+/*
+ * hostio — host-side I/O shim for the TPU-native genotype engine.
+ *
+ * Covers exactly the un-accelerable work htslib does for the reference
+ * (BGZF block decompression, record access, FASTA access; see reference
+ * cpp/vcfpp.h BcfReader + pysam FastaFile usage in fasta_encoder.py:86):
+ *
+ *   - BGZF/gzip/plain VCF decompression (multithreaded BGZF block decode —
+ *     the counterpart of htslib's hts_set_threads, vcfpp.h:1388).
+ *   - VCF record framing: tab-tokenizes each data line and packs the fields
+ *     the pipeline needs (CHROM, POS digits, REF, ALT, one sample's GT
+ *     subfield) into fixed 64-byte record slots.  Everything semantic —
+ *     integer parsing, SNP predicate, genotype/phase decode — happens on the
+ *     accelerator (haplohyped_tpu/ops/vcf_decode.py).
+ *   - FASTA indexing + subsequence fetch (the pysam-faidx role).
+ *
+ * Exposed as a plain C ABI for ctypes (no pybind11 on this system).
+ *
+ * Framed record layout (stride 64, little-endian; mirrored in
+ * haplohyped_tpu/hostio/frame_format.py — keep in sync):
+ *   [0:8)   chrom bytes     [8]  chrom_len
+ *   [9:21)  pos ASCII digits[21] pos_len
+ *   [22:38) ref bytes       [38] ref_len (capped at 255; bytes capped at 16)
+ *   [39:55) alt bytes       [55] alt_len (capped at 255; bytes capped at 16)
+ *   [56:62) gt bytes        [62] gt_len  (capped at 6)
+ *   [63]    flags: bit0 = line well-formed (>= 8 tab-separated fields)
+ *                  bit1 = sample GT subfield present
+ */
+
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <memory>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include <zlib.h>
+
+namespace {
+
+constexpr size_t kRecSize = 64;
+
+struct ErrBuf {
+    char *buf;
+    int len;
+    void set(const std::string &msg) {
+        if (buf && len > 0) {
+            snprintf(buf, (size_t)len, "%s", msg.c_str());
+        }
+    }
+};
+
+/* ------------------------------------------------------------------ */
+/* File reading + decompression                                        */
+/* ------------------------------------------------------------------ */
+
+bool read_file(const std::string &path, std::vector<uint8_t> &out,
+               std::string &err) {
+    FILE *f = fopen(path.c_str(), "rb");
+    if (!f) {
+        err = "cannot open file: " + path;
+        return false;
+    }
+    fseek(f, 0, SEEK_END);
+    long size = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    if (size < 0) {
+        fclose(f);
+        err = "cannot stat file: " + path;
+        return false;
+    }
+    out.resize((size_t)size);
+    size_t got = size ? fread(out.data(), 1, (size_t)size, f) : 0;
+    fclose(f);
+    if (got != (size_t)size) {
+        err = "short read: " + path;
+        return false;
+    }
+    return true;
+}
+
+bool is_gzip(const std::vector<uint8_t> &d) {
+    return d.size() >= 2 && d[0] == 0x1f && d[1] == 0x8b;
+}
+
+/* Returns true if the buffer looks like BGZF (gzip FEXTRA with BC field). */
+bool is_bgzf(const std::vector<uint8_t> &d) {
+    if (d.size() < 18 || !is_gzip(d) || d[2] != 8 || !(d[3] & 4)) return false;
+    size_t xlen = d[10] | (d[11] << 8);
+    size_t p = 12, end = 12 + xlen;
+    if (end > d.size()) return false;
+    while (p + 4 <= end) {
+        uint8_t si1 = d[p], si2 = d[p + 1];
+        size_t slen = d[p + 2] | (d[p + 3] << 8);
+        if (si1 == 66 && si2 == 67 && slen == 2) return true;
+        p += 4 + slen;
+    }
+    return false;
+}
+
+struct BgzfBlock {
+    size_t coffset;  /* compressed offset of block start */
+    size_t csize;    /* total block size */
+    size_t uoffset;  /* output offset */
+    size_t usize;    /* ISIZE */
+};
+
+bool scan_bgzf_blocks(const std::vector<uint8_t> &d,
+                      std::vector<BgzfBlock> &blocks, size_t &total_usize,
+                      std::string &err) {
+    size_t off = 0;
+    total_usize = 0;
+    while (off + 18 <= d.size()) {
+        if (!(d[off] == 0x1f && d[off + 1] == 0x8b)) {
+            err = "corrupt BGZF stream (bad magic)";
+            return false;
+        }
+        size_t xlen = d[off + 10] | (d[off + 11] << 8);
+        size_t p = off + 12, end = off + 12 + xlen;
+        size_t bsize = 0;
+        while (p + 4 <= end && p + 4 <= d.size()) {
+            uint8_t si1 = d[p], si2 = d[p + 1];
+            size_t slen = d[p + 2] | (d[p + 3] << 8);
+            if (si1 == 66 && si2 == 67 && slen == 2 && p + 6 <= d.size()) {
+                bsize = (size_t)(d[p + 4] | (d[p + 5] << 8)) + 1;
+                break;
+            }
+            p += 4 + slen;
+        }
+        if (bsize == 0 || off + bsize > d.size()) {
+            err = "corrupt BGZF stream (bad BSIZE)";
+            return false;
+        }
+        size_t isize = (size_t)d[off + bsize - 4] |
+                       ((size_t)d[off + bsize - 3] << 8) |
+                       ((size_t)d[off + bsize - 2] << 16) |
+                       ((size_t)d[off + bsize - 1] << 24);
+        blocks.push_back({off, bsize, total_usize, isize});
+        total_usize += isize;
+        off += bsize;
+    }
+    if (off != d.size()) {
+        err = "trailing garbage after BGZF blocks";
+        return false;
+    }
+    return true;
+}
+
+bool inflate_raw_block(const uint8_t *src, size_t srclen, uint8_t *dst,
+                       size_t dstlen) {
+    z_stream s;
+    memset(&s, 0, sizeof(s));
+    if (inflateInit2(&s, -15) != Z_OK) return false;
+    s.next_in = const_cast<uint8_t *>(src);
+    s.avail_in = (uInt)srclen;
+    s.next_out = dst;
+    s.avail_out = (uInt)dstlen;
+    int ret = inflate(&s, Z_FINISH);
+    inflateEnd(&s);
+    return ret == Z_STREAM_END && s.avail_out == 0;
+}
+
+/* Multithreaded BGZF decompression into one contiguous buffer. */
+bool decompress_bgzf(const std::vector<uint8_t> &d, int threads,
+                     std::vector<uint8_t> &out, std::string &err) {
+    std::vector<BgzfBlock> blocks;
+    size_t total = 0;
+    if (!scan_bgzf_blocks(d, blocks, total, err)) return false;
+    out.resize(total);
+    if (blocks.empty()) return true;
+
+    int nthreads = threads > 0 ? threads : 1;
+    if ((size_t)nthreads > blocks.size()) nthreads = (int)blocks.size();
+    std::atomic<size_t> next{0};
+    std::atomic<bool> ok{true};
+    auto worker = [&]() {
+        for (;;) {
+            size_t i = next.fetch_add(1);
+            if (i >= blocks.size() || !ok.load()) break;
+            const BgzfBlock &b = blocks[i];
+            if (b.usize == 0) continue;
+            size_t xlen = d[b.coffset + 10] | (d[b.coffset + 11] << 8);
+            size_t data_off = b.coffset + 12 + xlen;
+            size_t data_len = b.csize - (12 + xlen) - 8;
+            if (!inflate_raw_block(d.data() + data_off, data_len,
+                                   out.data() + b.uoffset, b.usize))
+                ok.store(false);
+        }
+    };
+    std::vector<std::thread> pool;
+    for (int t = 1; t < nthreads; t++) pool.emplace_back(worker);
+    worker();
+    for (auto &t : pool) t.join();
+    if (!ok.load()) {
+        err = "BGZF block decompression failed";
+        return false;
+    }
+    return true;
+}
+
+/* Streaming (single-thread) gzip decompression; handles multi-member. */
+bool decompress_gzip(const std::vector<uint8_t> &d, std::vector<uint8_t> &out,
+                     std::string &err) {
+    z_stream s;
+    memset(&s, 0, sizeof(s));
+    if (inflateInit2(&s, 15 + 16) != Z_OK) {
+        err = "inflateInit2 failed";
+        return false;
+    }
+    s.next_in = const_cast<uint8_t *>(d.data());
+    s.avail_in = (uInt)d.size();
+    out.clear();
+    out.reserve(d.size() * 4);
+    std::vector<uint8_t> chunk(1 << 20);
+    for (;;) {
+        s.next_out = chunk.data();
+        s.avail_out = (uInt)chunk.size();
+        int ret = inflate(&s, Z_NO_FLUSH);
+        size_t produced = chunk.size() - s.avail_out;
+        out.insert(out.end(), chunk.begin(), chunk.begin() + produced);
+        if (ret == Z_STREAM_END) {
+            if (s.avail_in == 0) break;
+            if (inflateReset(&s) != Z_OK) {
+                inflateEnd(&s);
+                err = "inflateReset failed";
+                return false;
+            }
+        } else if (ret != Z_OK && ret != Z_BUF_ERROR) {
+            inflateEnd(&s);
+            err = "gzip decompression error";
+            return false;
+        } else if (produced == 0 && s.avail_in == 0) {
+            break;
+        }
+    }
+    inflateEnd(&s);
+    return true;
+}
+
+bool load_text(const std::string &path, int threads, std::vector<uint8_t> &text,
+               std::string &err) {
+    std::vector<uint8_t> raw;
+    if (!read_file(path, raw, err)) return false;
+    if (is_bgzf(raw)) return decompress_bgzf(raw, threads, text, err);
+    if (is_gzip(raw)) return decompress_gzip(raw, text, err);
+    text = std::move(raw);
+    return true;
+}
+
+/* ------------------------------------------------------------------ */
+/* VCF framing                                                         */
+/* ------------------------------------------------------------------ */
+
+struct Region {
+    std::string chrom;  /* empty = no filter */
+    int64_t beg = -1;   /* 0-based inclusive; -1 = unbounded */
+    int64_t end = -1;   /* 0-based exclusive; -1 = unbounded */
+};
+
+/* Parse "chr22" / "chr22:100-200" (1-based inclusive, htslib style). */
+Region parse_region(const char *region) {
+    Region r;
+    if (!region || !*region) return r;
+    std::string s(region);
+    size_t colon = s.rfind(':');
+    if (colon == std::string::npos || s.find('-', colon) == std::string::npos) {
+        r.chrom = s;
+        return r;
+    }
+    r.chrom = s.substr(0, colon);
+    size_t dash = s.find('-', colon);
+    std::string b = s.substr(colon + 1, dash - colon - 1);
+    std::string e = s.substr(dash + 1);
+    if (!b.empty()) r.beg = atoll(b.c_str()) - 1;
+    if (!e.empty()) r.end = atoll(e.c_str());
+    return r;
+}
+
+struct HeaderInfo {
+    std::vector<std::string> samples;
+    size_t data_start = 0;  /* byte offset of first data line */
+    bool found_chrom_line = false;
+};
+
+bool parse_header(const std::vector<uint8_t> &text, HeaderInfo &hi,
+                  std::string &err) {
+    size_t off = 0, n = text.size();
+    while (off < n && text[off] == '#') {
+        const uint8_t *nl = (const uint8_t *)memchr(text.data() + off, '\n', n - off);
+        size_t line_end = nl ? (size_t)(nl - text.data()) : n;
+        if (off + 6 <= n && memcmp(text.data() + off, "#CHROM", 6) == 0) {
+            hi.found_chrom_line = true;
+            /* sample names are fields 9.. */
+            size_t p = off;
+            int field = 0;
+            size_t fstart = off;
+            while (p <= line_end) {
+                if (p == line_end || text[p] == '\t') {
+                    if (field >= 9) {
+                        size_t flen = p - fstart;
+                        /* strip trailing \r */
+                        while (flen > 0 && text[fstart + flen - 1] == '\r') flen--;
+                        hi.samples.emplace_back((const char *)text.data() + fstart, flen);
+                    }
+                    field++;
+                    fstart = p + 1;
+                }
+                if (p == line_end) break;
+                p++;
+            }
+        }
+        off = line_end + 1;
+    }
+    hi.data_start = off;
+    if (!hi.found_chrom_line) {
+        err = "VCF has no #CHROM header line";
+        return false;
+    }
+    return true;
+}
+
+/* Frame one data line into a 64-byte record. Returns false if the record
+ * should be skipped (region mismatch / malformed beyond use). */
+inline bool frame_line(const uint8_t *line, size_t len, const Region &region,
+                       int sample_col /* -1 = none */, int gt_subfield,
+                       uint8_t *rec) {
+    /* strip \r */
+    while (len > 0 && line[len - 1] == '\r') len--;
+    if (len == 0) return false;
+
+    /* Locate tab offsets for the fixed prefix (fields 0..8). */
+    size_t fstart[9], flen[9];
+    size_t p = 0;
+    int field = 0;
+    size_t start = 0;
+    int want_fields = sample_col >= 0 ? 9 : 8;
+    while (field < want_fields && p <= len) {
+        if (p == len || line[p] == '\t') {
+            fstart[field] = start;
+            flen[field] = p - start;
+            field++;
+            start = p + 1;
+        }
+        if (p == len) break;
+        p++;
+    }
+    if (field < 8) return false; /* malformed */
+    memset(rec, 0, kRecSize);
+    uint8_t flags = 1;
+
+    /* region filter on CHROM */
+    if (!region.chrom.empty()) {
+        if (flen[0] != region.chrom.size() ||
+            memcmp(line + fstart[0], region.chrom.data(), flen[0]) != 0)
+            return false;
+        if (region.beg >= 0 || region.end >= 0) {
+            int64_t pos = 0;
+            for (size_t i = 0; i < flen[1]; i++) {
+                uint8_t c = line[fstart[1] + i];
+                if (c < '0' || c > '9') { pos = -1; break; }
+                pos = pos * 10 + (c - '0');
+            }
+            int64_t start0 = pos - 1;
+            if (pos < 0) return false;
+            if (region.beg >= 0 && start0 < region.beg) {
+                /* htslib region semantics: keep records overlapping the
+                 * region; an SNP at start0 < beg doesn't overlap. */
+                return false;
+            }
+            if (region.end >= 0 && start0 >= region.end) return false;
+        }
+    }
+
+    /* chrom */
+    size_t cl = flen[0] < 8 ? flen[0] : 8;
+    memcpy(rec + 0, line + fstart[0], cl);
+    rec[8] = (uint8_t)cl;
+    /* pos digits */
+    size_t pl = flen[1] < 12 ? flen[1] : 12;
+    memcpy(rec + 9, line + fstart[1], pl);
+    rec[21] = (uint8_t)pl;
+    /* ref */
+    size_t rl = flen[3] < 16 ? flen[3] : 16;
+    memcpy(rec + 22, line + fstart[3], rl);
+    rec[38] = flen[3] < 255 ? (uint8_t)flen[3] : 255;
+    /* alt */
+    size_t al = flen[4] < 16 ? flen[4] : 16;
+    memcpy(rec + 39, line + fstart[4], al);
+    rec[55] = flen[4] < 255 ? (uint8_t)flen[4] : 255;
+
+    /* sample GT subfield */
+    if (sample_col >= 0) {
+        /* walk to tab #(9 + sample_col) */
+        size_t sp = start; /* start of field 9 (if field==9 reached) */
+        int cur = 9;
+        if (field < 9) return false;
+        while (cur < 9 + sample_col && sp < len) {
+            const uint8_t *tab = (const uint8_t *)memchr(line + sp, '\t', len - sp);
+            if (!tab) break;
+            sp = (size_t)(tab - line) + 1;
+            cur++;
+        }
+        if (cur == 9 + sample_col && sp <= len) {
+            const uint8_t *tab = (const uint8_t *)memchr(line + sp, '\t', len - sp);
+            size_t fend = tab ? (size_t)(tab - line) : len;
+            /* select the gt_subfield-th ':'-separated subfield */
+            size_t gs = sp;
+            for (int k = 0; k < gt_subfield && gs < fend; k++) {
+                const uint8_t *col = (const uint8_t *)memchr(line + gs, ':', fend - gs);
+                if (!col) { gs = fend; break; }
+                gs = (size_t)(col - line) + 1;
+            }
+            if (gs < fend) {
+                const uint8_t *col = (const uint8_t *)memchr(line + gs, ':', fend - gs);
+                size_t gend = col ? (size_t)(col - line) : fend;
+                size_t gl = gend - gs;
+                size_t gcap = gl < 6 ? gl : 6;
+                memcpy(rec + 56, line + gs, gcap);
+                rec[62] = (uint8_t)gcap;
+                flags |= 2;
+            }
+        }
+    }
+    rec[63] = flags;
+    return true;
+}
+
+/* Find index of "GT" in a FORMAT field (colon separated); -1 if absent. */
+inline int gt_subfield_index(const uint8_t *fmt, size_t len) {
+    int idx = 0;
+    size_t p = 0;
+    while (p < len) {
+        const uint8_t *col = (const uint8_t *)memchr(fmt + p, ':', len - p);
+        size_t fend = col ? (size_t)(col - fmt) : len;
+        if (fend - p == 2 && fmt[p] == 'G' && fmt[p + 1] == 'T') return idx;
+        idx++;
+        p = fend + 1;
+    }
+    return -1;
+}
+
+struct FrameOutput {
+    std::vector<uint8_t> records;
+    int64_t total_seen = 0;
+};
+
+/* Frame a byte range [lo, hi) of data lines (lo must sit at a line start). */
+void frame_range(const std::vector<uint8_t> &text, size_t lo, size_t hi,
+                 const Region &region, int sample_col, FrameOutput &out) {
+    uint8_t rec[kRecSize];
+    size_t off = lo;
+    out.records.reserve((hi - lo) / 80 * kRecSize);
+    while (off < hi) {
+        const uint8_t *nl =
+            (const uint8_t *)memchr(text.data() + off, '\n', text.size() - off);
+        size_t line_end = nl ? (size_t)(nl - text.data()) : text.size();
+        size_t len = line_end - off;
+        if (len > 0 && text[off] != '#') {
+            out.total_seen++;
+            /* GT subfield index: per-line FORMAT lookup is cheap relative to
+             * the sample walk; most files have GT first. Fast path: check
+             * FORMAT starts with "GT" at framing time inside frame_line is
+             * messy, so locate FORMAT here only when a sample is wanted. */
+            int gt_idx = 0;
+            if (sample_col >= 0) {
+                /* find field 8 (FORMAT) */
+                size_t p = off;
+                int f = 0;
+                size_t fs = off;
+                size_t fmt_start = 0, fmt_len = 0;
+                while (p <= line_end && f <= 8) {
+                    if (p == line_end || text[p] == '\t') {
+                        if (f == 8) {
+                            fmt_start = fs;
+                            fmt_len = p - fs;
+                            break;
+                        }
+                        f++;
+                        fs = p + 1;
+                    }
+                    if (p == line_end) break;
+                    p++;
+                }
+                if (fmt_len >= 2) {
+                    if (fmt_len == 2 && text[fmt_start] == 'G' &&
+                        text[fmt_start + 1] == 'T')
+                        gt_idx = 0;
+                    else if (text[fmt_start] == 'G' && text[fmt_start + 1] == 'T' &&
+                             text[fmt_start + 2] == ':')
+                        gt_idx = 0;
+                    else
+                        gt_idx = gt_subfield_index(text.data() + fmt_start, fmt_len);
+                } else {
+                    gt_idx = -1;
+                }
+            }
+            if (gt_idx >= 0 &&
+                frame_line(text.data() + off, len, region, sample_col, gt_idx, rec)) {
+                out.records.insert(out.records.end(), rec, rec + kRecSize);
+            }
+        }
+        off = line_end + 1;
+    }
+}
+
+}  // namespace
+
+/* ------------------------------------------------------------------ */
+/* C API                                                               */
+/* ------------------------------------------------------------------ */
+
+extern "C" {
+
+void hh_free(void *p) { free(p); }
+
+/* Decompress a VCF (bgzf/gzip/plain) and return sample names, newline
+ * joined.  Returns 0 on success. */
+int hh_vcf_samples(const char *path, int threads, char **out, int64_t *n_samples,
+                   char *errbuf, int errlen) {
+    ErrBuf eb{errbuf, errlen};
+    std::string err;
+    std::vector<uint8_t> text;
+    if (!load_text(path, threads, text, err)) {
+        eb.set(err);
+        return 1;
+    }
+    HeaderInfo hi;
+    if (!parse_header(text, hi, err)) {
+        eb.set(err);
+        return 1;
+    }
+    std::string joined;
+    for (size_t i = 0; i < hi.samples.size(); i++) {
+        if (i) joined += '\n';
+        joined += hi.samples[i];
+    }
+    char *buf = (char *)malloc(joined.size() + 1);
+    memcpy(buf, joined.c_str(), joined.size() + 1);
+    *out = buf;
+    *n_samples = (int64_t)hi.samples.size();
+    return 0;
+}
+
+/*
+ * Frame a VCF into 64-byte records.
+ *   sample: sample name to extract GT for, or NULL/"" for no-sample framing.
+ *   region: "chr22" / "chr22:100-200" / NULL.
+ * On success *out is a malloc'd buffer of (*out_n) * 64 bytes.
+ */
+int hh_vcf_frame(const char *path, const char *sample, const char *region,
+                 int threads, uint8_t **out, int64_t *out_n,
+                 int64_t *total_seen, char *errbuf, int errlen) {
+    ErrBuf eb{errbuf, errlen};
+    std::string err;
+    std::vector<uint8_t> text;
+    if (!load_text(path, threads, text, err)) {
+        eb.set(err);
+        return 1;
+    }
+    HeaderInfo hi;
+    if (!parse_header(text, hi, err)) {
+        eb.set(err);
+        return 1;
+    }
+    int sample_col = -1;
+    if (sample && *sample) {
+        for (size_t i = 0; i < hi.samples.size(); i++) {
+            if (hi.samples[i] == sample) {
+                sample_col = (int)i;
+                break;
+            }
+        }
+        if (sample_col < 0) {
+            eb.set(std::string("sample not found in VCF header: ") + sample);
+            return 2;
+        }
+    }
+    Region reg = parse_region(region);
+
+    /* Split data region into nthreads chunks snapped to line starts. */
+    int nthreads = threads > 0 ? threads : 1;
+    size_t lo = hi.data_start, n = text.size();
+    size_t span = n - lo;
+    if (span / 1000000 < (size_t)nthreads) {
+        nthreads = (int)(span / 1000000) + 1; /* small inputs: fewer threads */
+    }
+    std::vector<size_t> bounds;
+    bounds.push_back(lo);
+    for (int t = 1; t < nthreads; t++) {
+        size_t target = lo + span * (size_t)t / (size_t)nthreads;
+        const uint8_t *nl =
+            (const uint8_t *)memchr(text.data() + target, '\n', n - target);
+        size_t b = nl ? (size_t)(nl - text.data()) + 1 : n;
+        if (b <= bounds.back()) b = bounds.back();
+        bounds.push_back(b);
+    }
+    bounds.push_back(n);
+
+    std::vector<FrameOutput> parts((size_t)nthreads);
+    {
+        std::vector<std::thread> pool;
+        for (int t = 1; t < nthreads; t++) {
+            pool.emplace_back([&, t]() {
+                frame_range(text, bounds[t], bounds[t + 1], reg, sample_col,
+                            parts[t]);
+            });
+        }
+        frame_range(text, bounds[0], bounds[1], reg, sample_col, parts[0]);
+        for (auto &th : pool) th.join();
+    }
+
+    size_t total_bytes = 0;
+    int64_t seen = 0;
+    for (auto &pt : parts) {
+        total_bytes += pt.records.size();
+        seen += pt.total_seen;
+    }
+    uint8_t *buf = (uint8_t *)malloc(total_bytes ? total_bytes : 1);
+    size_t off = 0;
+    for (auto &pt : parts) {
+        memcpy(buf + off, pt.records.data(), pt.records.size());
+        off += pt.records.size();
+    }
+    *out = buf;
+    *out_n = (int64_t)(total_bytes / kRecSize);
+    if (total_seen) *total_seen = seen;
+    return 0;
+}
+
+/* ------------------------------------------------------------------ */
+/* FASTA                                                               */
+/* ------------------------------------------------------------------ */
+
+struct HHFasta {
+    std::vector<uint8_t> text; /* decompressed FASTA bytes */
+    std::vector<std::string> names;
+    std::vector<size_t> seq_offsets; /* offset of first sequence byte */
+    std::vector<int64_t> lengths;    /* base count */
+    std::vector<int> linebases;      /* bases per line */
+    std::vector<int> linewidth;      /* bytes per line incl newline */
+};
+
+void *hh_fasta_open(const char *path, char *errbuf, int errlen) {
+    ErrBuf eb{errbuf, errlen};
+    std::string err;
+    auto h = std::make_unique<HHFasta>();
+    if (!load_text(path, 1, h->text, err)) {
+        eb.set(err);
+        return nullptr;
+    }
+    const std::vector<uint8_t> &t = h->text;
+    size_t off = 0, n = t.size();
+    while (off < n) {
+        if (t[off] != '>') {
+            eb.set("malformed FASTA (expected '>')");
+            return nullptr;
+        }
+        const uint8_t *nl = (const uint8_t *)memchr(t.data() + off, '\n', n - off);
+        if (!nl) break;
+        size_t header_end = (size_t)(nl - t.data());
+        /* name = up to first whitespace */
+        size_t name_end = off + 1;
+        while (name_end < header_end && t[name_end] != ' ' && t[name_end] != '\t' &&
+               t[name_end] != '\r')
+            name_end++;
+        h->names.emplace_back((const char *)t.data() + off + 1, name_end - off - 1);
+        size_t seq_start = header_end + 1;
+        h->seq_offsets.push_back(seq_start);
+
+        /* measure first line */
+        int lb = 0, lw = 0;
+        {
+            size_t p = seq_start;
+            while (p < n && t[p] != '\n' && t[p] != '>') {
+                if (t[p] != '\r') lb++;
+                p++;
+            }
+            lw = (int)(p - seq_start) + 1;
+        }
+        h->linebases.push_back(lb > 0 ? lb : 1);
+        h->linewidth.push_back(lw > 0 ? lw : 1);
+
+        /* scan to end of record counting bases */
+        int64_t bases = 0;
+        size_t p = seq_start;
+        while (p < n && t[p] != '>') {
+            const uint8_t *lnl = (const uint8_t *)memchr(t.data() + p, '\n', n - p);
+            size_t le = lnl ? (size_t)(lnl - t.data()) : n;
+            size_t ll = le - p;
+            while (ll > 0 && t[p + ll - 1] == '\r') ll--;
+            bases += (int64_t)ll;
+            p = le + 1;
+            if (!lnl) break;
+        }
+        h->lengths.push_back(bases);
+        off = p;
+    }
+    return h.release();
+}
+
+void hh_fasta_close(void *handle) { delete (HHFasta *)handle; }
+
+int hh_fasta_nseq(void *handle) { return (int)((HHFasta *)handle)->names.size(); }
+
+int hh_fasta_name(void *handle, int i, char *buf, int buflen) {
+    HHFasta *h = (HHFasta *)handle;
+    if (i < 0 || (size_t)i >= h->names.size()) return 1;
+    snprintf(buf, (size_t)buflen, "%s", h->names[i].c_str());
+    return 0;
+}
+
+int64_t hh_fasta_length(void *handle, const char *name) {
+    HHFasta *h = (HHFasta *)handle;
+    for (size_t i = 0; i < h->names.size(); i++)
+        if (h->names[i] == name) return h->lengths[i];
+    return -1;
+}
+
+/* Fetch [start, end) (0-based) of a sequence into caller buffer (must hold
+ * end-start bytes).  Out-of-range clamps; missing name returns -1; returns
+ * number of bytes written. */
+int64_t hh_fasta_fetch(void *handle, const char *name, int64_t start,
+                       int64_t end, uint8_t *out) {
+    HHFasta *h = (HHFasta *)handle;
+    int idx = -1;
+    for (size_t i = 0; i < h->names.size(); i++)
+        if (h->names[i] == name) { idx = (int)i; break; }
+    if (idx < 0) return -1;
+    int64_t len = h->lengths[idx];
+    if (start < 0) start = 0;
+    if (end > len) end = len;
+    if (end <= start) return 0;
+    int lb = h->linebases[idx], lw = h->linewidth[idx];
+    size_t base = h->seq_offsets[idx];
+    int64_t want = end - start;
+    int64_t written = 0;
+    int64_t pos = start;
+    while (written < want) {
+        int64_t line = pos / lb;
+        int64_t col = pos % lb;
+        int64_t take = lb - col;
+        if (take > want - written) take = want - written;
+        size_t src = base + (size_t)(line * lw + col);
+        memcpy(out + written, h->text.data() + src, (size_t)take);
+        written += take;
+        pos += take;
+    }
+    return written;
+}
+
+}  /* extern "C" */

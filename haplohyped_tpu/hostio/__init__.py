@@ -1,0 +1,17 @@
+from haplohyped_tpu.hostio.frame_format import (
+    REC_SIZE,
+    FramedRecords,
+    frames_to_fields,
+)
+from haplohyped_tpu.hostio.vcf import VCFSource
+from haplohyped_tpu.hostio.fasta import FastaReader
+from haplohyped_tpu.hostio.native import native_available
+
+__all__ = [
+    "REC_SIZE",
+    "FramedRecords",
+    "frames_to_fields",
+    "VCFSource",
+    "FastaReader",
+    "native_available",
+]

@@ -1,0 +1,88 @@
+"""FASTA access: native shim with a pure-Python fallback.
+
+Replaces the reference's pysam ``FastaFile`` usage (``fasta_encoder.py:86``).
+Supports plain and gzipped FASTA; fetches return raw uppercase-preserving
+bytes — encoding happens in the device kernels.
+"""
+
+from __future__ import annotations
+
+import gzip
+
+from haplohyped_tpu.hostio import native
+
+
+class _PyFasta:
+    def __init__(self, path: str):
+        with open(path, "rb") as f:
+            head = f.read(2)
+        if head == b"\x1f\x8b":
+            with gzip.open(path, "rb") as f:
+                data = f.read()
+        else:
+            with open(path, "rb") as f:
+                data = f.read()
+        self._seqs: dict[str, bytes] = {}
+        self._order: list[str] = []
+        name = None
+        chunks: list[bytes] = []
+        for line in data.split(b"\n"):
+            line = line.rstrip(b"\r")
+            if line.startswith(b">"):
+                if name is not None:
+                    self._seqs[name] = b"".join(chunks)
+                name = line[1:].split(b" ")[0].split(b"\t")[0].decode()
+                self._order.append(name)
+                chunks = []
+            elif line:
+                chunks.append(line)
+        if name is not None:
+            self._seqs[name] = b"".join(chunks)
+
+    def names(self) -> list[str]:
+        return list(self._order)
+
+    def length(self, name: str) -> int:
+        return len(self._seqs[name])
+
+    def fetch(self, name: str, start: int, end: int) -> bytes:
+        seq = self._seqs[name]
+        return seq[max(0, start) : min(len(seq), end)]
+
+    def close(self):
+        self._seqs = {}
+
+
+class FastaReader:
+    """Uniform FASTA interface over the native shim / Python fallback."""
+
+    def __init__(self, path: str, use_native: bool | None = None):
+        self.path = path
+        if use_native is None:
+            use_native = native.native_available()
+        if use_native and native.native_available():
+            self._impl = native.NativeFasta(path)
+        else:
+            self._impl = _PyFasta(path)
+
+    def names(self) -> list[str]:
+        return self._impl.names()
+
+    def length(self, name: str) -> int:
+        return self._impl.length(name)
+
+    def fetch(self, name: str, start: int | None = None, end: int | None = None) -> bytes:
+        if start is None:
+            start = 0
+        if end is None:
+            end = self.length(name)
+        return self._impl.fetch(name, start, end)
+
+    def close(self):
+        self._impl.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -1,0 +1,168 @@
+"""ctypes bindings for the native hostio shim (cpp/hostio.cpp)."""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import threading
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "_native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libhh_hostio.so")
+
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None | bool = None  # None = not tried, False = failed
+
+
+def _load() -> ctypes.CDLL | None:
+    global _lib
+    with _lock:
+        if _lib is None:
+            try:
+                lib = ctypes.CDLL(_LIB_PATH)
+                lib.hh_free.argtypes = [ctypes.c_void_p]
+                lib.hh_vcf_samples.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_void_p),
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.c_char_p,
+                    ctypes.c_int,
+                ]
+                lib.hh_vcf_frame.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.c_char_p,
+                    ctypes.c_char_p,
+                    ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_void_p),
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.c_char_p,
+                    ctypes.c_int,
+                ]
+                lib.hh_fasta_open.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
+                lib.hh_fasta_open.restype = ctypes.c_void_p
+                lib.hh_fasta_close.argtypes = [ctypes.c_void_p]
+                lib.hh_fasta_nseq.argtypes = [ctypes.c_void_p]
+                lib.hh_fasta_name.argtypes = [
+                    ctypes.c_void_p,
+                    ctypes.c_int,
+                    ctypes.c_char_p,
+                    ctypes.c_int,
+                ]
+                lib.hh_fasta_length.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+                lib.hh_fasta_length.restype = ctypes.c_int64
+                lib.hh_fasta_fetch.argtypes = [
+                    ctypes.c_void_p,
+                    ctypes.c_char_p,
+                    ctypes.c_int64,
+                    ctypes.c_int64,
+                    ctypes.c_void_p,
+                ]
+                lib.hh_fasta_fetch.restype = ctypes.c_int64
+                _lib = lib
+            except OSError as exc:
+                logger.warning("native hostio unavailable (%s); using Python fallback", exc)
+                _lib = False
+        return _lib if _lib else None
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def vcf_samples(path: str, threads: int = 1) -> list[str]:
+    lib = _load()
+    assert lib is not None
+    out = ctypes.c_void_p()
+    n = ctypes.c_int64()
+    err = ctypes.create_string_buffer(512)
+    rc = lib.hh_vcf_samples(path.encode(), threads, ctypes.byref(out), ctypes.byref(n), err, 512)
+    if rc != 0:
+        raise RuntimeError(err.value.decode() or f"hh_vcf_samples failed ({rc})")
+    try:
+        raw = ctypes.string_at(out.value)
+    finally:
+        lib.hh_free(out)
+    return raw.decode().split("\n") if raw else []
+
+
+def vcf_frame(
+    path: str, sample: str | None, region: str | None, threads: int = 1
+) -> tuple[np.ndarray, int]:
+    """Frame a VCF natively; returns ((n, 64) uint8, total_lines_seen)."""
+    lib = _load()
+    assert lib is not None
+    out = ctypes.c_void_p()
+    n = ctypes.c_int64()
+    seen = ctypes.c_int64()
+    err = ctypes.create_string_buffer(512)
+    rc = lib.hh_vcf_frame(
+        path.encode(),
+        sample.encode() if sample else None,
+        region.encode() if region else None,
+        threads,
+        ctypes.byref(out),
+        ctypes.byref(n),
+        ctypes.byref(seen),
+        err,
+        512,
+    )
+    if rc != 0:
+        raise RuntimeError(err.value.decode() or f"hh_vcf_frame failed ({rc})")
+    try:
+        nbytes = int(n.value) * 64
+        buf = ctypes.string_at(out, nbytes) if nbytes else b""
+    finally:
+        lib.hh_free(out)
+    records = np.frombuffer(buf, dtype=np.uint8).reshape(-1, 64).copy()
+    return records, int(seen.value)
+
+
+class NativeFasta:
+    def __init__(self, path: str):
+        lib = _load()
+        assert lib is not None
+        self._lib = lib
+        err = ctypes.create_string_buffer(512)
+        self._h = lib.hh_fasta_open(path.encode(), err, 512)
+        if not self._h:
+            raise RuntimeError(err.value.decode() or "hh_fasta_open failed")
+
+    def names(self) -> list[str]:
+        n = self._lib.hh_fasta_nseq(self._h)
+        buf = ctypes.create_string_buffer(1024)
+        out = []
+        for i in range(n):
+            self._lib.hh_fasta_name(self._h, i, buf, 1024)
+            out.append(buf.value.decode())
+        return out
+
+    def length(self, name: str) -> int:
+        ln = self._lib.hh_fasta_length(self._h, name.encode())
+        if ln < 0:
+            raise KeyError(name)
+        return int(ln)
+
+    def fetch(self, name: str, start: int, end: int) -> bytes:
+        size = max(0, end - start)
+        out = ctypes.create_string_buffer(size)
+        written = self._lib.hh_fasta_fetch(self._h, name.encode(), start, end, out)
+        if written < 0:
+            raise KeyError(name)
+        return out.raw[: int(written)]
+
+    def close(self):
+        if self._h:
+            self._lib.hh_fasta_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -1,0 +1,136 @@
+"""VCF record source: native framing with a pure-Python fallback.
+
+Replaces the role of the reference's ``BcfReader`` (``cpp/vcfpp.h:1302-1486``)
+for the pipeline's used subset: open VCF (.vcf / .vcf.gz / BGZF), sample
+subsetting, region restriction (``chrom`` or ``chrom:beg-end``), threaded
+decompression.  Unlike htslib, region queries do not require a tabix index —
+the framer streams and filters (an index fast path can seek directly, see
+round-2 notes in docs/ARCHITECTURE.md).
+"""
+
+from __future__ import annotations
+
+import gzip
+import logging
+
+import numpy as np
+
+from haplohyped_tpu.hostio import native
+from haplohyped_tpu.hostio.frame_format import REC_SIZE, FramedRecords, pack_frame
+
+logger = logging.getLogger(__name__)
+
+
+def _read_text(path: str) -> bytes:
+    """Decompress a VCF to raw text bytes (Python fallback path)."""
+    with open(path, "rb") as f:
+        head = f.read(2)
+    if head == b"\x1f\x8b":
+        with gzip.open(path, "rb") as f:
+            return f.read()
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def _parse_region(region: str | None) -> tuple[str, int, int]:
+    if not region:
+        return "", -1, -1
+    if ":" in region and "-" in region.split(":")[-1]:
+        chrom, span = region.rsplit(":", 1)
+        b, e = span.split("-", 1)
+        return chrom, (int(b) - 1) if b else -1, int(e) if e else -1
+    return region, -1, -1
+
+
+class VCFSource:
+    """One VCF file, lazily framed into fixed-shape record buffers."""
+
+    def __init__(self, path: str, threads: int = 1, use_native: bool | None = None):
+        self.path = path
+        self.threads = max(1, int(threads))
+        if use_native is None:
+            use_native = native.native_available()
+        self.use_native = use_native and native.native_available()
+
+    # -- header ---------------------------------------------------------
+
+    def samples(self) -> list[str]:
+        """Sample names from the #CHROM header line (BcfHeader::getSamples)."""
+        if self.use_native:
+            return native.vcf_samples(self.path, self.threads)
+        return self._py_samples()
+
+    def _py_samples(self) -> list[str]:
+        text = _read_text(self.path)
+        for line in text.split(b"\n"):
+            if line.startswith(b"#CHROM"):
+                fields = line.rstrip(b"\r").split(b"\t")
+                return [f.decode() for f in fields[9:]]
+            if not line.startswith(b"#"):
+                break
+        raise RuntimeError("VCF has no #CHROM header line")
+
+    # -- framing --------------------------------------------------------
+
+    def frame(self, sample: str | None = None, region: str | None = None) -> FramedRecords:
+        """Frame data lines into (n, 64) uint8 records.
+
+        ``sample`` selects whose GT subfield is packed; ``region`` filters by
+        chromosome (optionally ``chrom:beg-end``, 1-based inclusive).
+        """
+        if self.use_native:
+            records, seen = native.vcf_frame(self.path, sample, region, self.threads)
+            return FramedRecords(records=records, total_seen=seen)
+        return self._py_frame(sample, region)
+
+    def _py_frame(self, sample: str | None, region: str | None) -> FramedRecords:
+        text = _read_text(self.path)
+        chrom_f, beg, end = _parse_region(region)
+        chrom_b = chrom_f.encode()
+        sample_col = -1
+        recs: list[np.ndarray] = []
+        seen = 0
+        for line in text.split(b"\n"):
+            line = line.rstrip(b"\r")
+            if not line:
+                continue
+            if line.startswith(b"#"):
+                if line.startswith(b"#CHROM") and sample is not None:
+                    cols = line.split(b"\t")[9:]
+                    try:
+                        sample_col = cols.index(sample.encode())
+                    except ValueError:
+                        raise RuntimeError(f"sample not found in VCF header: {sample}")
+                continue
+            seen += 1
+            fields = line.split(b"\t")
+            if len(fields) < 8:
+                continue
+            if chrom_b and fields[0] != chrom_b:
+                continue
+            if beg >= 0 or end >= 0:
+                try:
+                    start0 = int(fields[1]) - 1
+                except ValueError:
+                    continue
+                if (beg >= 0 and start0 < beg) or (end >= 0 and start0 >= end):
+                    continue
+            gt = None
+            if sample is not None and sample_col >= 0 and len(fields) > 9 + sample_col:
+                fmt = fields[8].split(b":")
+                try:
+                    gt_idx = fmt.index(b"GT")
+                except ValueError:
+                    continue
+                subfields = fields[9 + sample_col].split(b":")
+                if gt_idx < len(subfields):
+                    gt = subfields[gt_idx]
+            recs.append(pack_frame(fields[0], fields[1], fields[3], fields[4], gt))
+        records = (
+            np.stack(recs) if recs else np.zeros((0, REC_SIZE), dtype=np.uint8)
+        )
+        return FramedRecords(records=records, total_seen=seen)
+
+    def count_variants(self, region: str | None = None) -> int:
+        """Record count (BcfReader::getVariantsCount parity)."""
+        return self.frame(None, region).n
