@@ -1,0 +1,38 @@
+"""Device-side sequence encoding kernels.
+
+One-hot encoding of nucleotide sequences — the device replacement for the
+reference's whole-chromosome pandas/polars ``to_dummies`` hot loop
+(``fasta_encoder.py:47-61``): a 256-entry LUT gather plus a compare against
+the channel iota, fully fused by XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from haplohyped_tpu.core.constants import BASE_LUT, NUM_CHANNELS
+
+
+@jax.jit
+def ascii_to_codes(raw: jax.Array) -> jax.Array:
+    """uint8 ASCII bytes -> int8 base codes (unknown -> N); case-folded."""
+    lut = jnp.asarray(BASE_LUT)
+    return lut[raw.astype(jnp.uint8)]
+
+
+@functools.partial(jax.jit, static_argnames=("num_channels", "dtype"))
+def codes_to_onehot(
+    codes: jax.Array, num_channels: int = NUM_CHANNELS, dtype=jnp.uint8
+) -> jax.Array:
+    """int codes ``(...,)`` -> one-hot ``(..., num_channels)``."""
+    iota = jnp.arange(num_channels, dtype=codes.dtype)
+    return (codes[..., None] == iota).astype(dtype)
+
+
+def encode_ascii_onehot(raw: np.ndarray | jax.Array, dtype=jnp.uint8) -> jax.Array:
+    """Fused bytes -> one-hot (the fasta_encoder device path)."""
+    return codes_to_onehot(ascii_to_codes(jnp.asarray(raw)), dtype=dtype)

@@ -1,0 +1,20 @@
+"""Umbrella ``haplohyped`` CLI (reference ``src/haplohyped/main.py:6-12``,
+which registered a nonexistent module — fixed here)."""
+
+import click
+
+from haplohyped_tpu.pipeline.fasta_encoder import main as fasta_encoder_cmd
+from haplohyped_tpu.pipeline.vcf_to_h5 import main as vcf_to_h5_cmd
+
+
+@click.group()
+def main():
+    """haplohyped_tpu — TPU-native genotype-tensor engine."""
+
+
+main.add_command(vcf_to_h5_cmd, name="vcf_to_h5")
+main.add_command(fasta_encoder_cmd, name="fasta_encoder")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,48 @@
+"""Framed records + decode output -> the reference's SNP structured array.
+
+The struct layout (``chrom S5, start u4, stop u4, ref S10, alt S10,
+phase1 i1, phase2 i1``) is pinned by the reference writer
+(``vcf_to_h5.py:119-129``) and is the bit-exactness gate for cohort
+artifacts.  Only biallelic SNPs pass, so REF/ALT are single characters here;
+the S10 width is preserved for format parity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from haplohyped_tpu.core.constants import SNP_STRUCT_DTYPE
+from haplohyped_tpu.hostio.frame_format import CHROM_CAP, CHROM_OFF
+
+
+def snp_struct_from_frames(
+    frames: np.ndarray,
+    decoded: dict[str, np.ndarray],
+    with_sample: bool = True,
+) -> np.ndarray:
+    """Assemble the SNP structured array from frames + decode columns.
+
+    Applies the validity & SNP masks (streaming order preserved) and packs
+    the surviving records into :data:`SNP_STRUCT_DTYPE`.
+    """
+    keep = np.asarray(decoded["valid"]) & np.asarray(decoded["snp_mask"])
+    idx = np.nonzero(keep)[0]
+    out = np.empty(idx.shape[0], dtype=SNP_STRUCT_DTYPE)
+
+    chrom_bytes = np.ascontiguousarray(
+        frames[idx, CHROM_OFF : CHROM_OFF + CHROM_CAP], dtype=np.uint8
+    )
+    # zero-padded fixed-width bytes -> S8 -> truncate to S5 (reference casts
+    # chrom to S5, silently truncating longer names — same here)
+    out["chrom"] = chrom_bytes.view(f"S{CHROM_CAP}").ravel().astype("S5")
+    out["start"] = decoded["start"][idx]
+    out["stop"] = decoded["stop"][idx]
+    out["ref"] = np.ascontiguousarray(decoded["ref_char"][idx]).view("S1").astype("S10")
+    out["alt"] = np.ascontiguousarray(decoded["alt_char"][idx]).view("S1").astype("S10")
+    if with_sample:
+        out["phase1"] = decoded["phase1"][idx]
+        out["phase2"] = decoded["phase2"][idx]
+    else:
+        out["phase1"] = 0
+        out["phase2"] = 0
+    return out

@@ -1,0 +1,274 @@
+"""VCF -> cohort-HDF5 conversion pipeline.
+
+Behavioral parity with the reference's ``VCFtoHDF5Converter``
+(``src/haplohyped/vcf_to_h5.py:27-230``): same constructor signature, sample
+list semantics, per-(donor, chromosome) temp files named
+``{cohort}_tmp_donor_{id}_chr_{n}.h5``, group layout
+``donor_{id}/chr_{n}/snp_data``, Blosc(32001) cd_values ``(2,2,0,0,5,1,2)``,
+threaded donor fan-out, merge, and tmp cleanup — with the defects fixed and
+these upgrades:
+
+- decode runs on the accelerator (hostio framing -> jit decode kernel) rather
+  than a per-row Python repack (the reference's real bottleneck,
+  ``vcf_to_h5.py:103-129``);
+- per-task status is collected (the reference's ``executor.map`` silently
+  swallowed worker failures, ``vcf_to_h5.py:192``);
+- ``resume=True`` skips (donor, chrom) shards whose temp artifact exists —
+  first-class restartability.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import shutil
+import time
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import List
+
+import click
+import numpy as np
+
+from haplohyped_tpu.core.config import ConvertConfig
+from haplohyped_tpu.core.constants import SNP_DATASET_NAME
+from haplohyped_tpu.hostio.vcf import VCFSource
+from haplohyped_tpu.pipeline.records import snp_struct_from_frames
+from haplohyped_tpu.storage.blosc import cohort_compression_kwargs, set_blosc_nthreads
+
+logger = logging.getLogger("haplohyped_tpu.vcf_to_h5")
+
+
+@dataclass
+class TaskResult:
+    donor_id: str
+    chromosome: int | str
+    n_records: int = 0
+    n_snps: int = 0
+    seconds: float = 0.0
+    skipped: bool = False
+    error: Exception | None = None
+
+
+def _decode(frames: np.ndarray, device: bool) -> dict[str, np.ndarray]:
+    if device:
+        import jax
+
+        from haplohyped_tpu.ops.vcf_decode import decode_frames, decoded_to_numpy
+
+        if frames.shape[0] == 0:
+            from haplohyped_tpu.ops.vcf_decode import decode_frames_numpy
+
+            return decode_frames_numpy(frames)
+        dec = decode_frames(jax.numpy.asarray(frames))
+        return decoded_to_numpy(dec)
+    from haplohyped_tpu.ops.vcf_decode import decode_frames_numpy
+
+    return decode_frames_numpy(frames)
+
+
+class VCFtoHDF5Converter:
+    """Convert per-chromosome cohort VCFs into one genotype HDF5."""
+
+    def __init__(
+        self,
+        cohort_name: str,
+        vcf_dir: str,
+        out_dir: str,
+        sample_list_path: str,
+        cores: int,
+        cxx_threads: int,
+        *,
+        resume: bool = False,
+        device_decode: bool = True,
+        chromosomes=None,
+    ):
+        cfg = ConvertConfig(
+            cohort_name=cohort_name,
+            vcf_dir=vcf_dir,
+            out_dir=out_dir,
+            sample_list_path=sample_list_path,
+            cores=cores,
+            cxx_threads=cxx_threads,
+            resume=resume,
+            device_decode=device_decode,
+        )
+        if chromosomes is not None:
+            cfg = cfg.replace(chromosomes=tuple(chromosomes))
+        self.config = cfg
+
+        # reference attribute surface (tests construct + poke these)
+        self.cohort_name = cfg.cohort_name
+        self.vcf_dir = cfg.vcf_dir
+        self.out_dir = cfg.out_dir
+        self.sample_list_path = cfg.sample_list_path
+        self.cores = cfg.cores
+        self.cxx_threads = cfg.cxx_threads
+        self.donor_ids = self.read_sample_list(cfg.sample_list_path)
+        self.chromosomes = cfg.chromosomes
+        self.tmp_dir = cfg.tmp_dir
+        os.makedirs(self.tmp_dir, exist_ok=True)
+        set_blosc_nthreads(cfg.cxx_threads)
+        self.results: List[TaskResult] = []
+
+    # -- inputs ---------------------------------------------------------
+
+    def read_sample_list(self, sample_list_path: str) -> List[str]:
+        """One donor ID per line (reference semantics, ``vcf_to_h5.py:55-77``)."""
+        try:
+            with open(sample_list_path, "r") as f:
+                return [line.strip() for line in f]
+        except FileNotFoundError as e:
+            logger.error(f"Sample list file not found: {e}")
+            raise
+        except Exception as e:
+            logger.error(f"An error occurred while reading the sample list: {e}")
+            raise
+
+    # -- per-task unit --------------------------------------------------
+
+    def tmp_h5_path(self, donor_id: str, chromosome: int | str) -> str:
+        return os.path.join(
+            self.tmp_dir,
+            f"{self.cohort_name}_tmp_donor_{donor_id}_chr_{chromosome}.h5",
+        )
+
+    def genotype_vcf_to_hdf5(
+        self, data_path: str, donor_id: str, chromosome: int | str
+    ) -> TaskResult:
+        """Convert one (donor, chromosome) into its temp HDF5 shard."""
+        import h5py
+
+        res = TaskResult(donor_id=donor_id, chromosome=chromosome)
+        t0 = time.time()
+        tmp_h5_file = self.tmp_h5_path(donor_id, chromosome)
+        if self.config.resume and os.path.exists(tmp_h5_file):
+            res.skipped = True
+            return res
+        try:
+            chrom_str = f"chr{chromosome}"
+            if donor_id:
+                src = VCFSource(data_path, threads=self.cxx_threads)
+                framed = src.frame(sample=donor_id, region=chrom_str)
+                decoded = _decode(framed.records, self.config.device_decode)
+                snp_struct = snp_struct_from_frames(framed.records, decoded)
+                res.n_records = framed.n
+                res.n_snps = int(snp_struct.shape[0])
+
+                with h5py.File(tmp_h5_file, "w") as h5_gen_file:
+                    group_path = f"donor_{donor_id}/chr_{chromosome}"
+                    group = h5_gen_file.create_group(group_path)
+                    group.create_dataset(
+                        SNP_DATASET_NAME, data=snp_struct, **cohort_compression_kwargs()
+                    )
+                logger.info(
+                    "Loaded %d SNPs for sample %s and chromosome %s",
+                    res.n_snps,
+                    donor_id,
+                    chrom_str,
+                )
+        except Exception as e:
+            logger.error(f"An error occurred while processing VCF file: {e}")
+            res.error = e
+            raise
+        finally:
+            res.seconds = time.time() - t0
+        return res
+
+    def process_donor(self, donor_id: str) -> List[TaskResult]:
+        """All chromosomes for one donor (reference ``vcf_to_h5.py:142-152``)."""
+        logger.info(f"Processing donor {donor_id}")
+        out = []
+        for chromosome in self.chromosomes:
+            vcf_file = self.config.vcf_path(chromosome)
+            out.append(self.genotype_vcf_to_hdf5(vcf_file, donor_id, chromosome))
+        return out
+
+    # -- merge ----------------------------------------------------------
+
+    def merge_h5_files(self) -> None:
+        """Merge temp shards into ``{out_dir}/{cohort_name}.h5`` (h5py copy
+        preserves the compression pipeline, reference ``vcf_to_h5.py:154-180``)."""
+        import h5py
+
+        final_h5_file = self.config.final_h5_path
+        logger.info(f"Merging HDF5 files from {self.tmp_dir} to {final_h5_file}")
+        with h5py.File(final_h5_file, "w") as final_file:
+            for tmp_file in sorted(os.listdir(self.tmp_dir)):
+                if not tmp_file.endswith(".h5"):
+                    continue
+                tmp_file_path = os.path.join(self.tmp_dir, tmp_file)
+                with h5py.File(tmp_file_path, "r") as tmp:
+                    for donor in tmp.keys():
+                        donor_group = final_file.require_group(donor)
+                        for chrom in tmp[donor].keys():
+                            chrom_group = donor_group.require_group(chrom)
+                            for dset_name in tmp[donor][chrom].keys():
+                                if dset_name in chrom_group:
+                                    del chrom_group[dset_name]
+                                tmp.copy(f"{donor}/{chrom}/{dset_name}", chrom_group)
+        logger.info("Finished merging HDF5 files")
+
+    # -- driver ---------------------------------------------------------
+
+    def run(self, cleanup: bool = True) -> List[TaskResult]:
+        start_time = time.time()
+        try:
+            donor_ids = [d for d in self.donor_ids if d]
+            with ThreadPoolExecutor(max_workers=self.cores) as executor:
+                for task_results in executor.map(self.process_donor, donor_ids):
+                    self.results.extend(task_results)
+
+            merge_start = time.time()
+            self.merge_h5_files()
+            logger.info(
+                "Time taken to merge HDF5 files: %.2f seconds", time.time() - merge_start
+            )
+            logger.info("Total time taken: %.2f seconds", time.time() - start_time)
+            n_var = sum(r.n_snps for r in self.results)
+            wall = time.time() - start_time
+            logger.info(
+                "Converted %d SNP records in %.2fs (%.0f variants/sec)",
+                n_var,
+                wall,
+                n_var / wall if wall > 0 else 0,
+            )
+            return self.results
+        finally:
+            if cleanup:
+                shutil.rmtree(self.tmp_dir, ignore_errors=True)
+
+
+@click.command()
+@click.option("--cohort_name", required=True, type=str, help="Cohort specific name")
+@click.option("--vcf", required=True, type=str, help="Path to VCF files directory")
+@click.option("--outdir", required=True, type=str, help="Path to results save folder")
+@click.option("--sample_list", required=True, type=str, help="Path to sample list file")
+@click.option("--cores", default=os.cpu_count(), type=int, help="Number of CPU cores to use")
+@click.option(
+    "--cxx_threads", default=4, type=int, help="Native decompression/framing threads"
+)
+@click.option("--resume", is_flag=True, default=False, help="Skip existing temp shards")
+@click.option(
+    "--device-decode/--no-device-decode",
+    default=True,
+    help="Run the SNP decode kernel on the accelerator",
+)
+def main(cohort_name, vcf, outdir, sample_list, cores, cxx_threads, resume, device_decode):
+    """Convert a cohort of per-chromosome VCFs to a genotype HDF5."""
+    logging.basicConfig(level=logging.INFO)
+    converter = VCFtoHDF5Converter(
+        cohort_name=cohort_name,
+        vcf_dir=vcf,
+        out_dir=outdir,
+        sample_list_path=sample_list,
+        cores=cores,
+        cxx_threads=cxx_threads,
+        resume=resume,
+        device_decode=device_decode,
+    )
+    converter.run()
+
+
+if __name__ == "__main__":
+    main()

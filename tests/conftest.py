@@ -8,12 +8,19 @@ for).  Benchmarks (bench.py) do NOT import this and run on real TPU.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The machine image may pre-register an accelerator backend (and pin
+# JAX_PLATFORMS) via sitecustomize; the config update below overrides it so
+# the test suite always runs on the virtual 8-device CPU mesh.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 
