@@ -1,0 +1,185 @@
+"""On-device haplotype batch sampler.
+
+The jit-compiled replacement for the reference's CPU
+``RandomHaplotypeDataset`` + torch ``DataLoader`` path
+(``haplotype_dataset.py:30-114``; ``README.md:96-112``): PRNG-driven
+(region, donor, chromosome) draws, the midpoint window crop, and the fused
+gather/substitute/one-hot kernel all run on the accelerator; each call
+returns a ready ``(B, L, C)`` haplotype pair on device, so batches feed a
+training step with zero host involvement.
+
+Reference sampling semantics preserved: region, donor and chromosome indices
+are drawn *independently* (the region only supplies its position span —
+``haplotype_dataset.py:59-70``).  Robustness deviation: windows are clamped
+to the chromosome so out-of-range regions can't crash mid-training (the
+reference would fault on a short slice).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from haplohyped_tpu.core.config import SamplerConfig
+from haplohyped_tpu.data.cohort import CohortTensors
+from haplohyped_tpu.data.genome import GenomeTensors
+from haplohyped_tpu.data.regions import load_bed_regions
+from haplohyped_tpu.ops.haplotype_window import (
+    encode_haplotype_windows,
+    windows_to_onehot,
+)
+
+
+class HaplotypeBatch(NamedTuple):
+    hap1: jax.Array  # (B, L, C) one-hot
+    hap2: jax.Array  # (B, L, C) one-hot
+    hap1_codes: jax.Array  # (B, L) int8
+    hap2_codes: jax.Array  # (B, L) int8
+    n_variants: jax.Array  # (B,) int32
+    overflow: jax.Array  # (B,) int32
+
+
+@functools.partial(
+    jax.jit, static_argnames=("L", "K", "B", "num_channels", "onehot_dtype")
+)
+def _sample_batch(
+    key,
+    genome_flat,
+    chrom_offsets,
+    chrom_lengths,
+    region_spans,  # (R, 2) int32
+    var_pos,
+    var_ref,
+    var_alt,
+    var_p1,
+    var_p2,
+    var_counts,
+    *,
+    L: int,
+    K: int,
+    B: int,
+    num_channels: int,
+    onehot_dtype,
+) -> HaplotypeBatch:
+    kr, kd, kc = jax.random.split(key, 3)
+    R = region_spans.shape[0]
+    D = var_pos.shape[0]
+    C = chrom_offsets.shape[0]
+    region_idx = jax.random.randint(kr, (B,), 0, R)
+    donor_idx = jax.random.randint(kd, (B,), 0, D)
+    chrom_idx = jax.random.randint(kc, (B,), 0, C)
+
+    span = region_spans[region_idx]  # (B, 2)
+    mid = (span[:, 0] + span[:, 1]) // 2
+    new_start = jnp.maximum(0, mid - L // 2)
+    # clamp so the fixed-length window stays inside the drawn chromosome
+    limit = jnp.maximum(chrom_lengths[chrom_idx] - L, 0)
+    start = jnp.minimum(new_start, limit).astype(jnp.int32)
+
+    win = encode_haplotype_windows(
+        genome_flat,
+        chrom_offsets,
+        var_pos,
+        var_ref,
+        var_alt,
+        var_p1,
+        var_p2,
+        var_counts,
+        donor_idx,
+        chrom_idx,
+        start,
+        L=L,
+        K=K,
+    )
+    hap1 = windows_to_onehot(win.hap1, num_channels, onehot_dtype)
+    hap2 = windows_to_onehot(win.hap2, num_channels, onehot_dtype)
+    return HaplotypeBatch(
+        hap1=hap1,
+        hap2=hap2,
+        hap1_codes=win.hap1,
+        hap2_codes=win.hap2,
+        n_variants=win.n_variants,
+        overflow=win.overflow,
+    )
+
+
+class DeviceHaplotypeSampler:
+    """Stateful convenience wrapper around the jit sampling kernel."""
+
+    def __init__(
+        self,
+        genome: GenomeTensors,
+        cohort: CohortTensors,
+        region_spans: np.ndarray,  # (R, 2)
+        config: SamplerConfig = SamplerConfig(),
+        num_channels: int = 5,
+        onehot_dtype=jnp.float32,
+    ):
+        if genome.chrom_names != cohort.chrom_names:
+            # align cohort chrom axis to genome chrom axis where possible
+            missing = [c for c in genome.chrom_names if c not in cohort.chrom_names]
+            if missing:
+                raise ValueError(
+                    f"cohort lacks chromosomes present in genome: {missing}"
+                )
+        self.genome = genome
+        self.cohort = cohort
+        self.config = config
+        self.num_channels = num_channels
+        self.onehot_dtype = onehot_dtype
+
+        self._genome_dev = genome.device_arrays()
+        self._cohort_dev = cohort.device_arrays()
+        self._regions_dev = jnp.asarray(region_spans.astype(np.int32))
+        self._key = jax.random.PRNGKey(config.seed)
+
+    @classmethod
+    def from_files(
+        cls,
+        bed_file: str,
+        cohort_h5: str,
+        reference_h5: str,
+        samples_file: str | None = None,
+        config: SamplerConfig = SamplerConfig(),
+    ) -> "DeviceHaplotypeSampler":
+        donors = None
+        if samples_file:
+            with open(samples_file) as f:
+                donors = [line.strip() for line in f if line.strip()]
+        genome = GenomeTensors.from_h5(reference_h5)
+        cohort = CohortTensors.from_h5(cohort_h5, donors=donors, chrom_names=genome.chrom_names)
+        _, spans, _ = load_bed_regions(bed_file)
+        return cls(genome, cohort, spans, config)
+
+    def sample(self, key: jax.Array | None = None) -> HaplotypeBatch:
+        """Draw one batch; without an explicit key, advances internal state."""
+        if key is None:
+            self._key, key = jax.random.split(self._key)
+        flat, offsets, lengths = self._genome_dev
+        pos, ref, alt, p1, p2, counts = self._cohort_dev
+        return _sample_batch(
+            key,
+            flat,
+            offsets,
+            lengths,
+            self._regions_dev,
+            pos,
+            ref,
+            alt,
+            p1,
+            p2,
+            counts,
+            L=self.config.seq_length,
+            K=self.config.max_variants_per_window,
+            B=self.config.batch_size,
+            num_channels=self.num_channels,
+            onehot_dtype=self.onehot_dtype,
+        )
+
+    def __iter__(self):
+        while True:
+            yield self.sample()
