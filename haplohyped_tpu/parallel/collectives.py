@@ -53,7 +53,7 @@ def _all_gather_impl(x, mesh: Mesh, axis: str):
         mesh=mesh,
         in_specs=P(axis),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     def gather(shard):
         return jax.lax.all_gather(shard, axis, axis=0, tiled=True)
@@ -78,7 +78,7 @@ def psum_counts(local_counts: np.ndarray | jax.Array, mesh: Mesh, axis: str = "d
     """Global variant-count statistics (validation checksums) via psum."""
 
     @functools.partial(
-        shard_map, mesh=mesh, in_specs=P(axis), out_specs=P(), check_rep=False
+        shard_map, mesh=mesh, in_specs=P(axis), out_specs=P(), check_vma=False
     )
     def reduce(shard):
         return jax.lax.psum(jnp.sum(shard, keepdims=True), axis)
