@@ -1,0 +1,262 @@
+#!/usr/bin/env python
+"""Benchmark: variants/sec/chip for the parse+encode path (+ sampler windows).
+
+Prints ONE JSON line:
+  {"metric": "variants/sec/chip (parse+encode)", "value": N,
+   "unit": "variants/sec", "vs_baseline": N / 559390}
+
+Baseline: the reference's published single-core htslib parse throughput
+(559,390 variants/sec — reference README.md:118).  Here "parse+encode" is the
+full replacement path: multithreaded native framing (BGZF decode + record
+framing) -> host->device transfer -> jit decode kernel (field parse, SNP
+predicate, genotype/phase decode).
+
+Runs on whatever accelerator JAX finds (real TPU under the driver; CPU
+elsewhere).  Details go to stderr; the JSON line is the last stdout line.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_VARIANTS_PER_SEC = 559_390
+BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_data")
+N_VARIANTS = int(os.environ.get("HH_BENCH_VARIANTS", 2_000_000))
+N_SAMPLES = 3
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def bgzf_write(path: str, text: bytes, level: int = 1) -> None:
+    """Write bytes as BGZF (64KB gzip blocks with BC extra field) so the
+    native reader can decompress blocks in parallel — the real-world format
+    of bcftools-produced ``.vcf.gz`` cohort files."""
+    import struct
+    import zlib
+
+    with open(path, "wb") as f:
+        for lo in range(0, len(text), 0xFF00):
+            chunk = text[lo : lo + 0xFF00]
+            co = zlib.compressobj(level, zlib.DEFLATED, -15)
+            comp = co.compress(chunk) + co.flush()
+            bsize = len(comp) + 25 + 1
+            header = (
+                b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff\x06\x00BC\x02\x00"
+                + struct.pack("<H", bsize - 1)
+            )
+            f.write(header + comp)
+            f.write(struct.pack("<II", zlib.crc32(chunk), len(chunk)))
+        # EOF marker block
+        f.write(
+            b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff\x06\x00BC\x02\x00\x1b\x00"
+            b"\x03\x00\x00\x00\x00\x00\x00\x00\x00\x00"
+        )
+
+
+def ensure_corpus() -> tuple[str, str]:
+    """Generate (once) a large synthetic single-chrom BGZF VCF + sample."""
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    vcf = os.path.join(BENCH_DIR, f"bench_chr1_{N_VARIANTS}.bgzf.vcf.gz")
+    sample = "bench-sample-0000"
+    if os.path.exists(vcf):
+        return vcf, sample
+    log(f"generating bench corpus: {N_VARIANTS} variants ...")
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    samples = [f"bench-sample-{i:04d}" for i in range(N_SAMPLES)]
+    bases = np.array(list("ACGT"))
+    positions = np.cumsum(rng.integers(50, 200, size=N_VARIANTS)) + 10_000
+    refs = bases[rng.integers(0, 4, size=N_VARIANTS)]
+    alt_off = rng.integers(1, 4, size=N_VARIANTS)
+    alts = bases[(np.searchsorted(bases, refs) + alt_off) % 4]
+    gts = np.array(["0|0", "0|1", "1|0", "1|1"])[
+        rng.integers(0, 4, size=(N_VARIANTS, N_SAMPLES))
+    ]
+    parts = [
+        "##fileformat=VCFv4.2\n"
+        "##contig=<ID=chr1,length=400000000>\n"
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n'
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+        + "\t".join(samples)
+        + "\n"
+    ]
+    CHUNK = 100_000
+    for lo in range(0, N_VARIANTS, CHUNK):
+        hi = min(lo + CHUNK, N_VARIANTS)
+        rows = [
+            f"chr1\t{positions[i]}\trs{i}\t{refs[i]}\t{alts[i]}\t.\tPASS\t.\tGT\t"
+            + "\t".join(gts[i])
+            for i in range(lo, hi)
+        ]
+        parts.append("\n".join(rows) + "\n")
+    bgzf_write(vcf, "".join(parts).encode())
+    log(f"corpus generated in {time.time() - t0:.1f}s -> {vcf}")
+    return vcf, sample
+
+
+def bench_parse_encode(vcf: str, sample: str, threads: int) -> tuple[int, float]:
+    """On-device tokenizer path: host decompress+line-index -> upload ->
+    device tokenize/decode.  Returns (n_variants, best_e2e_seconds)."""
+    import jax
+    import jax.numpy as jnp
+
+    from haplohyped_tpu.hostio import native
+    from haplohyped_tpu.ops.vcf_tokenize import choose_window, tokenize_lines
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+
+    # --- host stage: decompress (threaded BGZF) + newline indexing ----
+    host_s = []
+    vt = None
+    for _ in range(3):
+        if vt is not None:
+            vt.close()
+        t0 = time.time()
+        vt = native.vcf_text(vcf, threads=threads)
+        host_s.append(time.time() - t0)
+    host_best = min(host_s)
+    n = vt.n_lines
+    sample_col = vt.samples.index(sample)
+    W = choose_window(int(vt.line_lengths.max()))
+    log(
+        f"host decompress+index: {[f'{t:.3f}' for t in host_s]}s "
+        f"(best {host_best:.3f}) for {n} lines, W={W}"
+    )
+
+    # --- upload -------------------------------------------------------
+    offs32 = vt.line_offsets.astype(np.int32)
+    up_s = []
+    for _ in range(3):
+        t0 = time.time()
+        text_dev = jax.device_put(vt.text, dev)
+        offs_dev = jax.device_put(offs32, dev)
+        lens_dev = jax.device_put(vt.line_lengths, dev)
+        jax.block_until_ready((text_dev, offs_dev, lens_dev))
+        up_s.append(time.time() - t0)
+    upload_best = min(up_s)
+    mb = vt.text.nbytes / 1e6
+    log(
+        f"h2d upload: {mb:.0f} MB best {upload_best:.3f}s = "
+        f"{vt.text.nbytes / upload_best / 1e9:.2f} GB/s"
+    )
+
+    # --- device tokenize+decode --------------------------------------
+    t0 = time.time()
+    out = tokenize_lines(text_dev, offs_dev, lens_dev, W=W, sample_col=sample_col)
+    jax.block_until_ready(out)
+    log(f"tokenize compile+first run: {time.time() - t0:.1f}s")
+    iters = 5
+    t0 = time.time()
+    for _ in range(iters):
+        out = tokenize_lines(text_dev, offs_dev, lens_dev, W=W, sample_col=sample_col)
+    jax.block_until_ready(out)
+    tok_s = (time.time() - t0) / iters
+    n_snps = int(np.asarray(out["snp_mask"]).sum())
+    log(
+        f"device tokenize+decode: {tok_s * 1e3:.2f} ms = {n / tok_s:,.0f} variants/s "
+        f"({n_snps} SNPs)"
+    )
+    vt.close()
+
+    e2e = host_best + upload_best + tok_s
+    log(
+        f"end-to-end parse+encode: {n} variants in {e2e:.3f}s "
+        f"(host {host_best:.3f} + h2d {upload_best:.3f} + device {tok_s:.3f}) "
+        f"= {n / e2e:,.0f} variants/s"
+    )
+    return n, e2e
+
+
+def bench_windows() -> float:
+    """Haplotype windows/sec from the on-device sampler on synthetic tensors."""
+    import jax
+
+    from haplohyped_tpu.core.config import SamplerConfig
+    from haplohyped_tpu.data.cohort import CohortTensors
+    from haplohyped_tpu.data.genome import GenomeTensors
+    from haplohyped_tpu.data.sampler import DeviceHaplotypeSampler
+
+    rng = np.random.default_rng(1)
+    L_chrom = 10_000_000
+    genome = GenomeTensors.from_code_arrays(
+        {"chr1": rng.integers(0, 4, size=L_chrom).astype(np.int8)}
+    )
+    n_var = 100_000
+    pos = np.sort(rng.choice(L_chrom - 100, size=n_var, replace=False)).astype(np.int64)
+    from haplohyped_tpu.core.constants import SNP_STRUCT_DTYPE
+
+    table = np.zeros(n_var, dtype=SNP_STRUCT_DTYPE)
+    table["chrom"] = b"chr1"
+    table["start"] = pos
+    table["stop"] = pos + 1
+    table["ref"] = b"A"
+    table["alt"] = b"G"
+    table["phase1"] = rng.integers(0, 2, size=n_var)
+    table["phase2"] = rng.integers(0, 2, size=n_var)
+    donors = [f"d{i}" for i in range(8)]
+    cohort = CohortTensors.from_structs(
+        {(d, "chr1"): table for d in donors}, donors, ["chr1"]
+    )
+    spans = np.stack(
+        [
+            (s := rng.integers(0, L_chrom - 2000, size=256)),
+            s + 1500,
+        ],
+        axis=1,
+    )
+    B, L = 64, 1000
+    sampler = DeviceHaplotypeSampler(
+        genome,
+        cohort,
+        spans,
+        SamplerConfig(seq_length=L, batch_size=B, seed=0, max_variants_per_window=64),
+    )
+    key = jax.random.PRNGKey(0)
+    b = sampler.sample(key)
+    jax.block_until_ready(b.hap1)
+    iters = 20
+    t0 = time.time()
+    for i in range(iters):
+        b = sampler.sample()
+    jax.block_until_ready(b.hap1)
+    dt = (time.time() - t0) / iters
+    wps = B / dt
+    log(f"sampler: {B} windows/batch in {dt * 1e3:.2f} ms = {wps:,.0f} windows/s")
+    return wps
+
+
+def main() -> None:
+    threads = os.cpu_count() or 1
+    vcf, sample = ensure_corpus()
+
+    n, e2e_s = bench_parse_encode(vcf, sample, threads)
+    e2e_vps = n / e2e_s
+
+    try:
+        wps = bench_windows()
+    except Exception as exc:  # sampler bench is auxiliary
+        log(f"window bench failed: {exc}")
+        wps = None
+
+    result = {
+        "metric": "variants/sec/chip (parse+encode)",
+        "value": round(e2e_vps),
+        "unit": "variants/sec",
+        "vs_baseline": round(e2e_vps / BASELINE_VARIANTS_PER_SEC, 3),
+    }
+    if wps is not None:
+        result["windows_per_sec"] = round(wps)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -630,6 +630,77 @@ int hh_vcf_frame(const char *path, const char *sample, const char *region,
     return 0;
 }
 
+/*
+ * Decompress a VCF and return the raw text plus data-line offsets/lengths —
+ * the minimal host work for the on-device tokenizer path: the accelerator
+ * does all tab-scanning and field decoding from (text, offsets).
+ *
+ * Outputs (all malloc'd, caller frees with hh_free):
+ *   text_out/text_len   decompressed bytes
+ *   line_off / line_len n_lines data-line start offsets + lengths (no \n)
+ *   samples_out         newline-joined sample names from #CHROM
+ */
+int hh_vcf_text(const char *path, int threads, uint8_t **text_out,
+                int64_t *text_len, int64_t **line_off_out,
+                int32_t **line_len_out, int64_t *n_lines, char **samples_out,
+                char *errbuf, int errlen) {
+    ErrBuf eb{errbuf, errlen};
+    std::string err;
+    std::vector<uint8_t> text;
+    if (!load_text(path, threads, text, err)) {
+        eb.set(err);
+        return 1;
+    }
+    HeaderInfo hi;
+    if (!parse_header(text, hi, err)) {
+        eb.set(err);
+        return 1;
+    }
+    size_t n = text.size();
+
+    /* count + record data-line offsets */
+    std::vector<int64_t> offs;
+    std::vector<int32_t> lens;
+    offs.reserve(n / 64);
+    lens.reserve(n / 64);
+    size_t off = hi.data_start;
+    while (off < n) {
+        const uint8_t *nl =
+            (const uint8_t *)memchr(text.data() + off, '\n', n - off);
+        size_t line_end = nl ? (size_t)(nl - text.data()) : n;
+        size_t len = line_end - off;
+        while (len > 0 && text[off + len - 1] == '\r') len--;
+        if (len > 0 && text[off] != '#') {
+            offs.push_back((int64_t)off);
+            lens.push_back((int32_t)len);
+        }
+        off = line_end + 1;
+    }
+
+    uint8_t *tbuf = (uint8_t *)malloc(n ? n : 1);
+    memcpy(tbuf, text.data(), n);
+    int64_t *obuf = (int64_t *)malloc(offs.size() * sizeof(int64_t) + 1);
+    memcpy(obuf, offs.data(), offs.size() * sizeof(int64_t));
+    int32_t *lbuf = (int32_t *)malloc(lens.size() * sizeof(int32_t) + 1);
+    memcpy(lbuf, lens.data(), lens.size() * sizeof(int32_t));
+
+    std::string joined;
+    for (size_t i = 0; i < hi.samples.size(); i++) {
+        if (i) joined += '\n';
+        joined += hi.samples[i];
+    }
+    char *sbuf = (char *)malloc(joined.size() + 1);
+    memcpy(sbuf, joined.c_str(), joined.size() + 1);
+
+    *text_out = tbuf;
+    *text_len = (int64_t)n;
+    *line_off_out = obuf;
+    *line_len_out = lbuf;
+    *n_lines = (int64_t)offs.size();
+    *samples_out = sbuf;
+    return 0;
+}
+
 /* ------------------------------------------------------------------ */
 /* FASTA                                                               */
 /* ------------------------------------------------------------------ */

@@ -47,7 +47,8 @@ class HaplotypeBatch(NamedTuple):
     jax.jit, static_argnames=("L", "K", "B", "num_channels", "onehot_dtype")
 )
 def _sample_batch(
-    key,
+    base_key,
+    step,
     genome_flat,
     chrom_offsets,
     chrom_lengths,
@@ -65,6 +66,7 @@ def _sample_batch(
     num_channels: int,
     onehot_dtype,
 ) -> HaplotypeBatch:
+    key = jax.random.fold_in(base_key, step)
     kr, kd, kc = jax.random.split(key, 3)
     R = region_spans.shape[0]
     D = var_pos.shape[0]
@@ -135,7 +137,8 @@ class DeviceHaplotypeSampler:
         self._genome_dev = genome.device_arrays()
         self._cohort_dev = cohort.device_arrays()
         self._regions_dev = jnp.asarray(region_spans.astype(np.int32))
-        self._key = jax.random.PRNGKey(config.seed)
+        self._base_key = jax.random.PRNGKey(config.seed)
+        self._step = 0
 
     @classmethod
     def from_files(
@@ -156,13 +159,21 @@ class DeviceHaplotypeSampler:
         return cls(genome, cohort, spans, config)
 
     def sample(self, key: jax.Array | None = None) -> HaplotypeBatch:
-        """Draw one batch; without an explicit key, advances internal state."""
+        """Draw one batch; without an explicit key, advances an internal
+        host-side step counter folded into the base key *inside* the jit —
+        no device round-trip between steps, so sampling pipelines fully
+        asynchronously (a chained ``jax.random.split`` would serialize on
+        dispatch latency)."""
         if key is None:
-            self._key, key = jax.random.split(self._key)
+            base, step = self._base_key, self._step
+            self._step += 1
+        else:
+            base, step = key, 0
         flat, offsets, lengths = self._genome_dev
         pos, ref, alt, p1, p2, counts = self._cohort_dev
         return _sample_batch(
-            key,
+            base,
+            jnp.int32(step),
             flat,
             offsets,
             lengths,

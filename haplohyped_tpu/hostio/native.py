@@ -44,6 +44,18 @@ def _load() -> ctypes.CDLL | None:
                     ctypes.c_char_p,
                     ctypes.c_int,
                 ]
+                lib.hh_vcf_text.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_void_p),
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_void_p),
+                    ctypes.POINTER(ctypes.c_void_p),
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_void_p),
+                    ctypes.c_char_p,
+                    ctypes.c_int,
+                ]
                 lib.hh_fasta_open.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
                 lib.hh_fasta_open.restype = ctypes.c_void_p
                 lib.hh_fasta_close.argtypes = [ctypes.c_void_p]
@@ -121,6 +133,87 @@ def vcf_frame(
         lib.hh_free(out)
     records = np.frombuffer(buf, dtype=np.uint8).reshape(-1, 64).copy()
     return records, int(seen.value)
+
+
+class VCFText:
+    """Zero-copy view over native-decompressed VCF text + line offsets.
+
+    Holds the malloc'd buffers; numpy arrays are views — keep this object
+    alive while using them.  ``close()`` (or GC) frees the native memory.
+    """
+
+    def __init__(self, text, line_offsets, line_lengths, samples, _frees):
+        self.text: np.ndarray = text  # (T,) uint8
+        self.line_offsets: np.ndarray = line_offsets  # (N,) int64
+        self.line_lengths: np.ndarray = line_lengths  # (N,) int32
+        self.samples: list[str] = samples
+        self._frees = _frees
+
+    @property
+    def n_lines(self) -> int:
+        return int(self.line_offsets.shape[0])
+
+    def close(self):
+        lib = _load()
+        for p in self._frees:
+            if p:
+                lib.hh_free(p)
+        self._frees = []
+        self.text = self.line_offsets = self.line_lengths = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def vcf_text(path: str, threads: int = 1) -> VCFText:
+    """Native decompress + data-line indexing (no per-field host work)."""
+    lib = _load()
+    assert lib is not None
+    text_p = ctypes.c_void_p()
+    text_len = ctypes.c_int64()
+    off_p = ctypes.c_void_p()
+    len_p = ctypes.c_void_p()
+    n_lines = ctypes.c_int64()
+    samples_p = ctypes.c_void_p()
+    err = ctypes.create_string_buffer(512)
+    rc = lib.hh_vcf_text(
+        path.encode(),
+        threads,
+        ctypes.byref(text_p),
+        ctypes.byref(text_len),
+        ctypes.byref(off_p),
+        ctypes.byref(len_p),
+        ctypes.byref(n_lines),
+        ctypes.byref(samples_p),
+        err,
+        512,
+    )
+    if rc != 0:
+        raise RuntimeError(err.value.decode() or f"hh_vcf_text failed ({rc})")
+    n = int(n_lines.value)
+    t = int(text_len.value)
+    text = np.ctypeslib.as_array(
+        ctypes.cast(text_p, ctypes.POINTER(ctypes.c_uint8)), shape=(t,)
+    )
+    offs = np.ctypeslib.as_array(
+        ctypes.cast(off_p, ctypes.POINTER(ctypes.c_int64)), shape=(n,)
+    )
+    lens = np.ctypeslib.as_array(
+        ctypes.cast(len_p, ctypes.POINTER(ctypes.c_int32)), shape=(n,)
+    )
+    raw_samples = ctypes.string_at(samples_p)
+    samples = raw_samples.decode().split("\n") if raw_samples else []
+    lib.hh_free(samples_p)
+    return VCFText(
+        text,
+        offs,
+        lens,
+        samples,
+        _frees=[text_p.value, off_p.value, len_p.value],
+    )
 
 
 class NativeFasta:

@@ -69,8 +69,17 @@ def _one_window(
     sub1 = jnp.where(p1 == 1, alt, ref)
     sub2 = jnp.where(p2 == 1, alt, ref)
 
-    hap1 = window.at[pos].set(sub1, mode="drop")
-    hap2 = window.at[pos].set(sub2, mode="drop")
+    # Scatter-free substitution: TPU scatters serialize badly, so instead
+    # compare every output position against the K variant positions (a dense
+    # (K, L) mask — pure VPU work) and select.  Last matching variant wins,
+    # matching scatter semantics for duplicate positions.
+    out_pos = jnp.arange(L, dtype=pos.dtype)
+    match = pos[:, None] == out_pos[None, :]  # (K, L)
+    prio = jnp.where(match, jnp.arange(1, K + 1, dtype=jnp.int32)[:, None], 0)
+    kbest = jnp.argmax(prio, axis=0)  # largest matching k (prio distinct)
+    has_match = jnp.max(prio, axis=0) > 0
+    hap1 = jnp.where(has_match, sub1[kbest], window)
+    hap2 = jnp.where(has_match, sub2[kbest], window)
     overflow = jnp.maximum(n_in - K, 0)
     return hap1, hap2, n_in, overflow
 

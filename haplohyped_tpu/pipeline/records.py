@@ -1,4 +1,4 @@
-"""Framed records + decode output -> the reference's SNP structured array.
+"""Decode columns -> the reference's SNP structured array.
 
 The struct layout (``chrom S5, start u4, stop u4, ref S10, alt S10,
 phase1 i1, phase2 i1``) is pinned by the reference writer
@@ -15,26 +15,33 @@ from haplohyped_tpu.core.constants import SNP_STRUCT_DTYPE
 from haplohyped_tpu.hostio.frame_format import CHROM_CAP, CHROM_OFF
 
 
-def snp_struct_from_frames(
-    frames: np.ndarray,
+def snp_struct_from_decoded(
     decoded: dict[str, np.ndarray],
+    chrom_bytes: np.ndarray,  # (N, 8) uint8, zero-padded
     with_sample: bool = True,
+    chrom_filter: str | None = None,
 ) -> np.ndarray:
-    """Assemble the SNP structured array from frames + decode columns.
+    """Assemble the SNP structured array from decode columns.
 
-    Applies the validity & SNP masks (streaming order preserved) and packs
-    the surviving records into :data:`SNP_STRUCT_DTYPE`.
+    Applies validity & SNP masks (streaming order preserved); an optional
+    ``chrom_filter`` keeps only records whose CHROM matches (used by the
+    tokenizer path, which does not pre-filter by region).
     """
     keep = np.asarray(decoded["valid"]) & np.asarray(decoded["snp_mask"])
+    chrom_bytes = np.ascontiguousarray(chrom_bytes, dtype=np.uint8)
+    if chrom_filter is not None:
+        target = np.zeros(CHROM_CAP, dtype=np.uint8)
+        enc = chrom_filter.encode()[:CHROM_CAP]
+        target[: len(enc)] = np.frombuffer(enc, dtype=np.uint8)
+        keep &= (chrom_bytes == target[None, :]).all(axis=1)
     idx = np.nonzero(keep)[0]
     out = np.empty(idx.shape[0], dtype=SNP_STRUCT_DTYPE)
 
-    chrom_bytes = np.ascontiguousarray(
-        frames[idx, CHROM_OFF : CHROM_OFF + CHROM_CAP], dtype=np.uint8
-    )
     # zero-padded fixed-width bytes -> S8 -> truncate to S5 (reference casts
     # chrom to S5, silently truncating longer names — same here)
-    out["chrom"] = chrom_bytes.view(f"S{CHROM_CAP}").ravel().astype("S5")
+    out["chrom"] = (
+        np.ascontiguousarray(chrom_bytes[idx]).view(f"S{CHROM_CAP}").ravel().astype("S5")
+    )
     out["start"] = decoded["start"][idx]
     out["stop"] = decoded["stop"][idx]
     out["ref"] = np.ascontiguousarray(decoded["ref_char"][idx]).view("S1").astype("S10")
@@ -46,3 +53,13 @@ def snp_struct_from_frames(
         out["phase1"] = 0
         out["phase2"] = 0
     return out
+
+
+def snp_struct_from_frames(
+    frames: np.ndarray,
+    decoded: dict[str, np.ndarray],
+    with_sample: bool = True,
+) -> np.ndarray:
+    """Framed-record variant: chrom columns come from the frame matrix."""
+    chrom_bytes = frames[:, CHROM_OFF : CHROM_OFF + CHROM_CAP]
+    return snp_struct_from_decoded(decoded, chrom_bytes, with_sample)

@@ -33,7 +33,10 @@ import numpy as np
 from haplohyped_tpu.core.config import ConvertConfig
 from haplohyped_tpu.core.constants import SNP_DATASET_NAME
 from haplohyped_tpu.hostio.vcf import VCFSource
-from haplohyped_tpu.pipeline.records import snp_struct_from_frames
+from haplohyped_tpu.pipeline.records import (
+    snp_struct_from_decoded,
+    snp_struct_from_frames,
+)
 from haplohyped_tpu.storage.blosc import cohort_compression_kwargs, set_blosc_nthreads
 
 logger = logging.getLogger("haplohyped_tpu.vcf_to_h5")
@@ -148,11 +151,8 @@ class VCFtoHDF5Converter:
         try:
             chrom_str = f"chr{chromosome}"
             if donor_id:
-                src = VCFSource(data_path, threads=self.cxx_threads)
-                framed = src.frame(sample=donor_id, region=chrom_str)
-                decoded = _decode(framed.records, self.config.device_decode)
-                snp_struct = snp_struct_from_frames(framed.records, decoded)
-                res.n_records = framed.n
+                snp_struct, n_records = self._parse_snps(data_path, donor_id, chrom_str)
+                res.n_records = n_records
                 res.n_snps = int(snp_struct.shape[0])
 
                 with h5py.File(tmp_h5_file, "w") as h5_gen_file:
@@ -174,6 +174,34 @@ class VCFtoHDF5Converter:
         finally:
             res.seconds = time.time() - t0
         return res
+
+    def _parse_snps(self, data_path: str, donor_id: str, chrom_str: str):
+        """Parse one sample's SNPs: on-device tokenizer when possible, framed
+        fallback otherwise.  Returns (snp_struct, total_records_seen)."""
+        from haplohyped_tpu.hostio import native
+
+        if self.config.device_decode and native.native_available():
+            vt = native.vcf_text(data_path, threads=self.cxx_threads)
+            try:
+                from haplohyped_tpu.ops.vcf_tokenize import tokenize_vcf_device
+
+                decoded = tokenize_vcf_device(vt, donor_id)
+                if not decoded["long_line"].any():
+                    struct = snp_struct_from_decoded(
+                        decoded, decoded["chrom"], chrom_filter=chrom_str
+                    )
+                    return struct, int(decoded["start"].shape[0])
+                logger.info(
+                    "lines exceed tokenizer window; using framed fallback for %s",
+                    data_path,
+                )
+            finally:
+                vt.close()
+
+        src = VCFSource(data_path, threads=self.cxx_threads)
+        framed = src.frame(sample=donor_id, region=chrom_str)
+        decoded = _decode(framed.records, self.config.device_decode)
+        return snp_struct_from_frames(framed.records, decoded), framed.n
 
     def process_donor(self, donor_id: str) -> List[TaskResult]:
         """All chromosomes for one donor (reference ``vcf_to_h5.py:142-152``)."""

@@ -208,7 +208,8 @@ class TestDeviceSampler:
         codes2 = np.asarray(batch.hap2_codes)
 
         # recover the draw (same key path as _sample_batch)
-        kr, kd, kc = jax.random.split(jax.random.PRNGKey(7), 3)
+        folded = jax.random.fold_in(jax.random.PRNGKey(7), 0)
+        kr, kd, kc = jax.random.split(folded, 3)
         import jax.numpy as jnp
 
         R = sampler._regions_dev.shape[0]
