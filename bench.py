@@ -132,48 +132,65 @@ def bench_parse_encode(vcf: str, sample: str, threads: int) -> tuple[int, float]
         f"(best {host_best:.3f}) for {n} lines, W={W}"
     )
 
-    # --- upload -------------------------------------------------------
+    # --- upload + device tokenize (fresh buffers each iteration so a
+    # caching execution relay can't elide the real work) ---------------
     offs32 = vt.line_offsets.astype(np.int32)
-    up_s = []
-    for _ in range(3):
-        t0 = time.time()
-        text_dev = jax.device_put(vt.text, dev)
-        offs_dev = jax.device_put(offs32, dev)
-        lens_dev = jax.device_put(vt.line_lengths, dev)
-        jax.block_until_ready((text_dev, offs_dev, lens_dev))
-        up_s.append(time.time() - t0)
-    upload_best = min(up_s)
-    mb = vt.text.nbytes / 1e6
-    log(
-        f"h2d upload: {mb:.0f} MB best {upload_best:.3f}s = "
-        f"{vt.text.nbytes / upload_best / 1e9:.2f} GB/s"
-    )
+    T = vt.text.shape[0]
+    pad_to = (-(-T // W) + 1) * W
+    text_padded = np.zeros(pad_to, dtype=np.uint8)
+    text_padded[:T] = vt.text
 
-    # --- device tokenize+decode --------------------------------------
     t0 = time.time()
+    text_dev = jax.device_put(text_padded, dev)
+    offs_dev = jax.device_put(offs32, dev)
+    lens_dev = jax.device_put(vt.line_lengths, dev)
     out = tokenize_lines(text_dev, offs_dev, lens_dev, W=W, sample_col=sample_col)
     jax.block_until_ready(out)
-    log(f"tokenize compile+first run: {time.time() - t0:.1f}s")
-    iters = 5
-    t0 = time.time()
-    for _ in range(iters):
+    log(f"upload+tokenize compile+first run: {time.time() - t0:.1f}s")
+
+    dev_s = []
+    for _ in range(4):
+        text_in = text_padded.copy()  # fresh host buffer -> fresh device buffer
+        t0 = time.time()
+        text_dev = jax.device_put(text_in, dev)
+        offs_dev = jax.device_put(offs32.copy(), dev)
+        lens_dev = jax.device_put(vt.line_lengths.copy(), dev)
         out = tokenize_lines(text_dev, offs_dev, lens_dev, W=W, sample_col=sample_col)
-    jax.block_until_ready(out)
-    tok_s = (time.time() - t0) / iters
+        jax.block_until_ready(out)
+        dev_s.append(time.time() - t0)
+    dev_best = min(dev_s)
     n_snps = int(np.asarray(out["snp_mask"]).sum())
     log(
-        f"device tokenize+decode: {tok_s * 1e3:.2f} ms = {n / tok_s:,.0f} variants/s "
-        f"({n_snps} SNPs)"
+        f"upload+tokenize: {[f'{t:.3f}' for t in dev_s]}s (best {dev_best:.3f}) "
+        f"= {n / dev_best:,.0f} variants/s ({n_snps} SNPs)"
     )
     vt.close()
 
-    e2e = host_best + upload_best + tok_s
+    e2e = host_best + dev_best
     log(
-        f"end-to-end parse+encode: {n} variants in {e2e:.3f}s "
-        f"(host {host_best:.3f} + h2d {upload_best:.3f} + device {tok_s:.3f}) "
+        f"staged parse+encode: {n} variants in {e2e:.3f}s "
+        f"(host {host_best:.3f} + upload+device {dev_best:.3f}) "
         f"= {n / e2e:,.0f} variants/s"
     )
-    return n, e2e
+
+    # --- pipelined streaming path (host decompress overlaps device) ---
+    from haplohyped_tpu.ops.vcf_stream import tokenize_vcf_streaming
+
+    stream_s = []
+    for _ in range(3):
+        t0 = time.time()
+        dec = tokenize_vcf_streaming(vcf, sample, threads=threads)
+        stream_s.append(time.time() - t0)
+    stream_best = min(stream_s)
+    assert int(dec["start"].shape[0]) == n
+    log(
+        f"streaming parse+encode: {[f'{t:.3f}' for t in stream_s]}s "
+        f"(best {stream_best:.3f}) = {n / stream_best:,.0f} variants/s"
+    )
+
+    best = min(e2e, stream_best)
+    log(f"end-to-end parse+encode best: {n / best:,.0f} variants/s")
+    return n, best
 
 
 def bench_windows() -> float:

@@ -646,58 +646,253 @@ int hh_vcf_text(const char *path, int threads, uint8_t **text_out,
                 char *errbuf, int errlen) {
     ErrBuf eb{errbuf, errlen};
     std::string err;
-    std::vector<uint8_t> text;
-    if (!load_text(path, threads, text, err)) {
+    std::vector<uint8_t> raw;
+    if (!read_file(path, raw, err)) {
         eb.set(err);
         return 1;
     }
-    HeaderInfo hi;
-    if (!parse_header(text, hi, err)) {
-        eb.set(err);
-        return 1;
-    }
-    size_t n = text.size();
 
-    /* count + record data-line offsets */
-    std::vector<int64_t> offs;
-    std::vector<int32_t> lens;
-    offs.reserve(n / 64);
-    lens.reserve(n / 64);
-    size_t off = hi.data_start;
-    while (off < n) {
-        const uint8_t *nl =
-            (const uint8_t *)memchr(text.data() + off, '\n', n - off);
-        size_t line_end = nl ? (size_t)(nl - text.data()) : n;
-        size_t len = line_end - off;
-        while (len > 0 && text[off + len - 1] == '\r') len--;
-        if (len > 0 && text[off] != '#') {
-            offs.push_back((int64_t)off);
-            lens.push_back((int32_t)len);
+    uint8_t *tbuf = nullptr;
+    size_t n = 0;
+    std::vector<std::vector<int64_t>> nl_parts; /* per-worker newline offsets */
+
+    if (is_bgzf(raw)) {
+        /* BGZF: decompress blocks in parallel straight into the output
+         * buffer AND scan newlines while each block is cache-hot. */
+        std::vector<BgzfBlock> blocks;
+        size_t total = 0;
+        if (!scan_bgzf_blocks(raw, blocks, total, err)) {
+            eb.set(err);
+            return 1;
         }
-        off = line_end + 1;
+        n = total;
+        tbuf = (uint8_t *)malloc(n ? n : 1);
+        int nthreads = threads > 0 ? threads : 1;
+        if ((size_t)nthreads > blocks.size()) nthreads = blocks.size() ? (int)blocks.size() : 1;
+        nl_parts.resize((size_t)nthreads);
+        std::atomic<bool> ok{true};
+        auto worker = [&](int t) {
+            size_t lo = blocks.size() * (size_t)t / (size_t)nthreads;
+            size_t hi2 = blocks.size() * (size_t)(t + 1) / (size_t)nthreads;
+            auto &nls = nl_parts[(size_t)t];
+            for (size_t i = lo; i < hi2 && ok.load(); i++) {
+                const BgzfBlock &b = blocks[i];
+                if (b.usize == 0) continue;
+                size_t xlen = raw[b.coffset + 10] | (raw[b.coffset + 11] << 8);
+                size_t data_off = b.coffset + 12 + xlen;
+                size_t data_len = b.csize - (12 + xlen) - 8;
+                uint8_t *dst = tbuf + b.uoffset;
+                if (!inflate_raw_block(raw.data() + data_off, data_len, dst,
+                                       b.usize)) {
+                    ok.store(false);
+                    return;
+                }
+                const uint8_t *p = dst, *end = dst + b.usize;
+                while ((p = (const uint8_t *)memchr(p, '\n', (size_t)(end - p)))) {
+                    nls.push_back((int64_t)(p - tbuf));
+                    p++;
+                }
+            }
+        };
+        std::vector<std::thread> pool;
+        for (int t = 1; t < nthreads; t++) pool.emplace_back(worker, t);
+        worker(0);
+        for (auto &th : pool) th.join();
+        if (!ok.load()) {
+            free(tbuf);
+            eb.set("BGZF block decompression failed");
+            return 1;
+        }
+    } else {
+        /* gzip / plain: decompress (single stream) then scan newlines. */
+        std::vector<uint8_t> text;
+        if (is_gzip(raw)) {
+            if (!decompress_gzip(raw, text, err)) {
+                eb.set(err);
+                return 1;
+            }
+        } else {
+            text = std::move(raw);
+        }
+        n = text.size();
+        tbuf = (uint8_t *)malloc(n ? n : 1);
+        memcpy(tbuf, text.data(), n);
+        nl_parts.resize(1);
+        const uint8_t *p = tbuf, *end = tbuf + n;
+        while ((p = (const uint8_t *)memchr(p, '\n', (size_t)(end - p)))) {
+            nl_parts[0].push_back((int64_t)(p - tbuf));
+            p++;
+        }
     }
 
-    uint8_t *tbuf = (uint8_t *)malloc(n ? n : 1);
-    memcpy(tbuf, text.data(), n);
-    int64_t *obuf = (int64_t *)malloc(offs.size() * sizeof(int64_t) + 1);
-    memcpy(obuf, offs.data(), offs.size() * sizeof(int64_t));
-    int32_t *lbuf = (int32_t *)malloc(lens.size() * sizeof(int32_t) + 1);
-    memcpy(lbuf, lens.data(), lens.size() * sizeof(int32_t));
+    /* header: find data_start + samples from the decompressed text */
+    std::vector<uint8_t> view;  /* cheap header-only copy (first lines) */
+    {
+        size_t head_span = n < (1u << 20) ? n : (1u << 20);
+        /* headers can exceed 1MB (big contig lists) — grow until #CHROM */
+        HeaderInfo tmp;
+        std::string herr;
+        for (;;) {
+            view.assign(tbuf, tbuf + head_span);
+            tmp = HeaderInfo();
+            if (parse_header(view, tmp, herr) && tmp.data_start <= head_span)
+                break;
+            if (head_span == n) {
+                free(tbuf);
+                eb.set("VCF has no #CHROM header line");
+                return 1;
+            }
+            head_span = head_span * 4 < n ? head_span * 4 : n;
+        }
+        /* success path falls through with tmp valid */
+        std::string joined;
+        for (size_t i = 0; i < tmp.samples.size(); i++) {
+            if (i) joined += '\n';
+            joined += tmp.samples[i];
+        }
+        char *sbuf0 = (char *)malloc(joined.size() + 1);
+        memcpy(sbuf0, joined.c_str(), joined.size() + 1);
+        *samples_out = sbuf0;
 
-    std::string joined;
-    for (size_t i = 0; i < hi.samples.size(); i++) {
-        if (i) joined += '\n';
-        joined += hi.samples[i];
+        /* derive data-line offsets/lengths from newline offsets */
+        size_t total_nl = 0;
+        for (auto &v : nl_parts) total_nl += v.size();
+        int64_t *obuf = (int64_t *)malloc((total_nl + 1) * sizeof(int64_t) + 1);
+        int32_t *lbuf = (int32_t *)malloc((total_nl + 1) * sizeof(int32_t) + 1);
+        size_t cnt = 0;
+        int64_t prev_nl = -1;
+        int64_t ds = (int64_t)tmp.data_start;
+        auto emit = [&](int64_t line_start, int64_t line_end) {
+            if (line_start < ds) return;
+            int64_t len = line_end - line_start;
+            while (len > 0 && tbuf[line_start + len - 1] == '\r') len--;
+            if (len > 0 && tbuf[line_start] != '#') {
+                obuf[cnt] = line_start;
+                lbuf[cnt] = (int32_t)len;
+                cnt++;
+            }
+        };
+        for (auto &v : nl_parts) {
+            for (int64_t nlpos : v) {
+                emit(prev_nl + 1, nlpos);
+                prev_nl = nlpos;
+            }
+        }
+        if (prev_nl + 1 < (int64_t)n) emit(prev_nl + 1, (int64_t)n);
+        *line_off_out = obuf;
+        *line_len_out = lbuf;
+        *n_lines = (int64_t)cnt;
     }
-    char *sbuf = (char *)malloc(joined.size() + 1);
-    memcpy(sbuf, joined.c_str(), joined.size() + 1);
 
     *text_out = tbuf;
     *text_len = (int64_t)n;
-    *line_off_out = obuf;
-    *line_len_out = lbuf;
-    *n_lines = (int64_t)offs.size();
-    *samples_out = sbuf;
+    return 0;
+}
+
+/* ------------------------------------------------------------------ */
+/* Streaming BGZF range decoder                                        */
+/*                                                                     */
+/* Lets the Python driver pipeline host decompression against device   */
+/* upload/compute: open once (block scan only), then decode contiguous */
+/* block ranges into caller-provided buffers, newline offsets fused.   */
+/* ------------------------------------------------------------------ */
+
+struct HHBgzf {
+    std::vector<uint8_t> raw;
+    std::vector<BgzfBlock> blocks;
+    size_t total_usize = 0;
+};
+
+void *hh_bgzf_open(const char *path, int64_t *total_usize, int64_t *n_blocks,
+                   char *errbuf, int errlen) {
+    ErrBuf eb{errbuf, errlen};
+    std::string err;
+    auto h = std::make_unique<HHBgzf>();
+    if (!read_file(path, h->raw, err)) {
+        eb.set(err);
+        return nullptr;
+    }
+    if (!is_bgzf(h->raw)) {
+        eb.set("not a BGZF file");
+        return nullptr;
+    }
+    if (!scan_bgzf_blocks(h->raw, h->blocks, h->total_usize, err)) {
+        eb.set(err);
+        return nullptr;
+    }
+    *total_usize = (int64_t)h->total_usize;
+    *n_blocks = (int64_t)h->blocks.size();
+    return h.release();
+}
+
+void hh_bgzf_close(void *handle) { delete (HHBgzf *)handle; }
+
+int64_t hh_bgzf_uoffset(void *handle, int64_t i) {
+    HHBgzf *h = (HHBgzf *)handle;
+    if (i < 0) return -1;
+    if ((size_t)i >= h->blocks.size()) return (int64_t)h->total_usize;
+    return (int64_t)h->blocks[(size_t)i].uoffset;
+}
+
+/* Decompress blocks [lo, hi) into dst (caller-sized); fused newline scan.
+ * nl_out: malloc'd newline offsets RELATIVE to range start. */
+int hh_bgzf_decode_range(void *handle, int64_t lo, int64_t hi, int threads,
+                         uint8_t *dst, int64_t **nl_out, int64_t *n_nl,
+                         char *errbuf, int errlen) {
+    ErrBuf eb{errbuf, errlen};
+    HHBgzf *h = (HHBgzf *)handle;
+    if (lo < 0 || hi > (int64_t)h->blocks.size() || lo > hi) {
+        eb.set("bad block range");
+        return 1;
+    }
+    size_t base = (size_t)hh_bgzf_uoffset(handle, lo);
+    size_t nb = (size_t)(hi - lo);
+    int nthreads = threads > 0 ? threads : 1;
+    if ((size_t)nthreads > nb) nthreads = nb ? (int)nb : 1;
+    std::vector<std::vector<int64_t>> nl_parts((size_t)nthreads);
+    std::atomic<bool> ok{true};
+    auto worker = [&](int t) {
+        size_t blo = (size_t)lo + nb * (size_t)t / (size_t)nthreads;
+        size_t bhi = (size_t)lo + nb * (size_t)(t + 1) / (size_t)nthreads;
+        auto &nls = nl_parts[(size_t)t];
+        for (size_t i = blo; i < bhi && ok.load(); i++) {
+            const BgzfBlock &b = h->blocks[i];
+            if (b.usize == 0) continue;
+            size_t xlen = h->raw[b.coffset + 10] | (h->raw[b.coffset + 11] << 8);
+            size_t data_off = b.coffset + 12 + xlen;
+            size_t data_len = b.csize - (12 + xlen) - 8;
+            uint8_t *d = dst + (b.uoffset - base);
+            if (!inflate_raw_block(h->raw.data() + data_off, data_len, d, b.usize)) {
+                ok.store(false);
+                return;
+            }
+            const uint8_t *p = d, *end = d + b.usize;
+            while ((p = (const uint8_t *)memchr(p, '\n', (size_t)(end - p)))) {
+                nls.push_back((int64_t)(p - dst));
+                p++;
+            }
+        }
+    };
+    {
+        std::vector<std::thread> pool;
+        for (int t = 1; t < nthreads; t++) pool.emplace_back(worker, t);
+        worker(0);
+        for (auto &th : pool) th.join();
+    }
+    if (!ok.load()) {
+        eb.set("BGZF block decompression failed");
+        return 1;
+    }
+    size_t total_nl = 0;
+    for (auto &v : nl_parts) total_nl += v.size();
+    int64_t *nlbuf = (int64_t *)malloc(total_nl * sizeof(int64_t) + 1);
+    size_t cnt = 0;
+    for (auto &v : nl_parts) {
+        memcpy(nlbuf + cnt, v.data(), v.size() * sizeof(int64_t));
+        cnt += v.size();
+    }
+    *nl_out = nlbuf;
+    *n_nl = (int64_t)total_nl;
     return 0;
 }
 

@@ -56,6 +56,28 @@ def _load() -> ctypes.CDLL | None:
                     ctypes.c_char_p,
                     ctypes.c_int,
                 ]
+                lib.hh_bgzf_open.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.c_char_p,
+                    ctypes.c_int,
+                ]
+                lib.hh_bgzf_open.restype = ctypes.c_void_p
+                lib.hh_bgzf_close.argtypes = [ctypes.c_void_p]
+                lib.hh_bgzf_uoffset.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+                lib.hh_bgzf_uoffset.restype = ctypes.c_int64
+                lib.hh_bgzf_decode_range.argtypes = [
+                    ctypes.c_void_p,
+                    ctypes.c_int64,
+                    ctypes.c_int64,
+                    ctypes.c_int,
+                    ctypes.c_void_p,
+                    ctypes.POINTER(ctypes.c_void_p),
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.c_char_p,
+                    ctypes.c_int,
+                ]
                 lib.hh_fasta_open.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
                 lib.hh_fasta_open.restype = ctypes.c_void_p
                 lib.hh_fasta_close.argtypes = [ctypes.c_void_p]
@@ -214,6 +236,64 @@ def vcf_text(path: str, threads: int = 1) -> VCFText:
         samples,
         _frees=[text_p.value, off_p.value, len_p.value],
     )
+
+
+class BgzfRangeReader:
+    """Streaming BGZF reader: decode block ranges into numpy buffers with
+    fused newline offsets — the host half of the pipelined tokenizer."""
+
+    def __init__(self, path: str):
+        lib = _load()
+        assert lib is not None
+        self._lib = lib
+        total = ctypes.c_int64()
+        nblocks = ctypes.c_int64()
+        err = ctypes.create_string_buffer(512)
+        self._h = lib.hh_bgzf_open(path.encode(), ctypes.byref(total), ctypes.byref(nblocks), err, 512)
+        if not self._h:
+            raise RuntimeError(err.value.decode() or "hh_bgzf_open failed")
+        self.total_usize = int(total.value)
+        self.n_blocks = int(nblocks.value)
+
+    def uoffset(self, i: int) -> int:
+        return int(self._lib.hh_bgzf_uoffset(self._h, i))
+
+    def decode_range(
+        self, lo: int, hi: int, threads: int, out: np.ndarray, out_off: int = 0
+    ) -> np.ndarray:
+        """Decode blocks [lo, hi) into ``out[out_off:]``; returns newline
+        offsets relative to the range start (int64)."""
+        size = self.uoffset(hi) - self.uoffset(lo)
+        assert out.shape[0] - out_off >= size
+        nl_p = ctypes.c_void_p()
+        n_nl = ctypes.c_int64()
+        err = ctypes.create_string_buffer(512)
+        dst = out[out_off:].ctypes.data_as(ctypes.c_void_p)
+        rc = self._lib.hh_bgzf_decode_range(
+            self._h, lo, hi, threads, dst, ctypes.byref(nl_p), ctypes.byref(n_nl), err, 512
+        )
+        if rc != 0:
+            raise RuntimeError(err.value.decode() or "hh_bgzf_decode_range failed")
+        n = int(n_nl.value)
+        if n:
+            nl = np.ctypeslib.as_array(
+                ctypes.cast(nl_p, ctypes.POINTER(ctypes.c_int64)), shape=(n,)
+            ).copy()
+        else:
+            nl = np.zeros(0, np.int64)
+        self._lib.hh_free(nl_p)
+        return nl
+
+    def close(self):
+        if self._h:
+            self._lib.hh_bgzf_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 class NativeFasta:

@@ -47,11 +47,21 @@ def tokenize_lines(
     :func:`haplohyped_tpu.ops.vcf_decode.decode_frames_numpy`) plus
     ``chrom`` (N, 8) uint8, ``chrom_len`` and ``long_line``.
     """
-    col = jnp.arange(W, dtype=jnp.int32)
-    idx = offsets[:, None] + col[None, :]
-    idx = jnp.clip(idx, 0, text.shape[0] - 1)
-    win = text[idx]  # (N, W)
-    valid = col[None, :] < lengths[:, None]
+    # Lane-aligned window fetch: arbitrary byte gathers are pathologically
+    # slow on TPU, but gathering whole W-byte aligned rows is near-bandwidth.
+    # Fetch the two rows covering each line and mask from the in-row shift —
+    # all downstream logic is mask-based, so no realignment is needed.
+    T = text.shape[0]
+    n_rows = T // W  # caller pads text length to a multiple of W
+    text2d = text[: n_rows * W].reshape(n_rows, W)
+    r0 = jnp.clip(offsets // W, 0, n_rows - 1)
+    r1 = jnp.clip(r0 + 1, 0, n_rows - 1)
+    win = jnp.concatenate([text2d[r0], text2d[r1]], axis=1)  # (N, 2W)
+    shift = offsets - r0 * W
+    col = jnp.arange(2 * W, dtype=jnp.int32)
+    valid = (col[None, :] >= shift[:, None]) & (
+        col[None, :] < shift[:, None] + lengths[:, None]
+    )
     long_line = lengths > W
 
     is_tab = (win == TAB) & valid
@@ -69,16 +79,20 @@ def tokenize_lines(
         return jnp.sum(mask, axis=1, dtype=jnp.int32)
 
     def char_at(pos, delta=0):
-        p = jnp.clip(pos + delta, 0, W - 1)
+        p = jnp.clip(pos + delta, 0, 2 * W - 1)
         return jnp.take_along_axis(win, p[:, None], axis=1)[:, 0]
 
     n_fields = jnp.max(jnp.where(valid, fieldid, 0), axis=1) + 1
 
-    # --- CHROM (field 0, starts at col 0) -----------------------------
+    # --- CHROM (field 0, starts at the line's in-window shift) --------
     m0 = fmask(0)
     chrom_len = jnp.minimum(flen(m0), 8)
+    cidx = jnp.clip(shift[:, None] + jnp.arange(8, dtype=jnp.int32)[None, :], 0, 2 * W - 1)
+    chrom_raw = jnp.take_along_axis(win, cidx, axis=1)
     chrom = jnp.where(
-        (col[None, :8] < chrom_len[:, None]), win[:, :8], jnp.uint8(0)
+        jnp.arange(8, dtype=jnp.int32)[None, :] < chrom_len[:, None],
+        chrom_raw,
+        jnp.uint8(0),
     )
 
     # --- POS (field 1) ------------------------------------------------
@@ -205,7 +219,12 @@ def tokenize_vcf_device(
     max_len = int(vcf_text_obj.line_lengths.max())
     W = choose_window(max_len, cap=window_cap)
 
-    text_dev = jnp.asarray(vcf_text_obj.text)
+    # pad text to a row-multiple (+ one slack row) for the aligned fetch
+    T = vcf_text_obj.text.shape[0]
+    pad_to = (-(-T // W) + 1) * W
+    text_padded = np.zeros(pad_to, dtype=np.uint8)
+    text_padded[:T] = vcf_text_obj.text
+    text_dev = jnp.asarray(text_padded)
     chunks = []
     for lo in range(0, n, chunk_lines):
         hi = min(lo + chunk_lines, n)
