@@ -117,3 +117,39 @@ def make_train_step(model: HaploFormer, tx: optax.GradientTransformation, mesh: 
         train_step,
         in_shardings=(None, batch_sh, batch_sh, batch_sh),
     )
+
+
+def train_on_sampler(
+    sampler,
+    model: HaploFormer | None = None,
+    steps: int = 100,
+    learning_rate: float = 3e-4,
+    mesh: Mesh | None = None,
+    log_every: int = 20,
+):
+    """The end-to-end slice: on-device sampled haplotype batches feed a
+    sharded training step — no host data path at all after setup.
+
+    Returns (final TrainState, list of loss values).
+    """
+    import logging
+
+    logger = logging.getLogger(__name__)
+    if model is None:
+        model = HaploFormer(HaploFormerConfig())
+
+    first = sampler.sample()
+    rng = jax.random.PRNGKey(0)
+    state, tx = create_train_state(
+        model, rng, (first.hap1, first.hap2), learning_rate, mesh=mesh
+    )
+    step_fn = make_train_step(model, tx, mesh=mesh)
+    losses = []
+    for i in range(steps):
+        batch = sampler.sample()
+        state, metrics = step_fn(state, batch.hap1, batch.hap2, batch.n_variants)
+        if (i + 1) % log_every == 0 or i == steps - 1:
+            loss = float(metrics["loss"])
+            losses.append(loss)
+            logger.info("step %d loss %.4f", i + 1, loss)
+    return state, losses
