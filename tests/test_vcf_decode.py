@@ -15,11 +15,12 @@ from haplohyped_tpu.ops.vcf_decode import (
 )
 from haplohyped_tpu.pipeline.records import snp_struct_from_frames
 
-SAMPLES = [
-    "e5ec2976-7055-4179-b9a1-411c5019dbf2",
-    "88569604-9241-4c77-87ce-c47e9a85f4a3",
-    "985362a3-e536-4368-8996-2bc2db0d8fd5",
-]
+def corpus_samples(data_dir) -> list[str]:
+    with open(data_dir / "ipscs_samples_test.txt") as f:
+        return [line.strip() for line in f if line.strip()]
+
+
+SAMPLE_IDXS = [0, 1, 2]
 
 
 def reference_parse(vcf_path, sample):
@@ -51,8 +52,9 @@ def reference_parse(vcf_path, sample):
 
 
 class TestDecodeAgainstIndependentParse:
-    @pytest.mark.parametrize("sample", SAMPLES)
-    def test_struct_matches(self, test_data_dir, sample):
+    @pytest.mark.parametrize("sample_idx", SAMPLE_IDXS)
+    def test_struct_matches(self, test_data_dir, sample_idx):
+        sample = corpus_samples(test_data_dir)[sample_idx]
         vcf = str(test_data_dir / "chr22.filtered.vcf.gz")
         expected = reference_parse(vcf, sample)
         framed = VCFSource(vcf).frame(sample=sample, region="chr22")
@@ -78,7 +80,7 @@ class TestDecodeAgainstIndependentParse:
 class TestDeviceNumpyAgreement:
     def test_device_vs_numpy(self, test_data_dir):
         vcf = str(test_data_dir / "chr22.filtered.vcf.gz")
-        framed = VCFSource(vcf).frame(sample=SAMPLES[0], region="chr22")
+        framed = VCFSource(vcf).frame(sample=corpus_samples(test_data_dir)[0], region="chr22")
         dev = decoded_to_numpy(decode_frames(framed.records))
         ref = decode_frames_numpy(framed.records)
         for k in ref:
@@ -151,11 +153,13 @@ class TestFraming:
     def test_region_window(self, test_data_dir):
         vcf = str(test_data_dir / "chr22.filtered.vcf.gz")
         all_fr = VCFSource(vcf).frame(region="chr22")
-        win = VCFSource(vcf).frame(region="chr22:10012123-10052303")
+        all_starts = decode_frames_numpy(all_fr.records, with_sample=False)["start"]
+        lo1, hi1 = int(all_starts[100]) + 1, int(all_starts[400]) + 1
+        win = VCFSource(vcf).frame(region=f"chr22:{lo1}-{hi1}")
         d = decode_frames_numpy(win.records, with_sample=False)
         assert win.n < all_fr.n
-        assert d["start"].min() >= 10012122
-        assert d["start"].max() <= 10052302
+        assert d["start"].min() >= lo1 - 1
+        assert d["start"].max() <= hi1 - 1
 
     def test_region_other_chrom_empty(self, test_data_dir):
         vcf = str(test_data_dir / "chr22.filtered.vcf.gz")
@@ -174,7 +178,7 @@ class TestFraming:
 
     def test_fields_roundtrip(self, test_data_dir):
         vcf = str(test_data_dir / "chr22.filtered.vcf.gz")
-        fr = VCFSource(vcf).frame(sample=SAMPLES[1], region="chr22")
+        fr = VCFSource(vcf).frame(sample=corpus_samples(test_data_dir)[1], region="chr22")
         f = frames_to_fields(fr.records)
         assert bytes(f["chrom"][0][: f["chrom_len"][0]]) == b"chr22"
         assert f["flags"].min() == 3  # all well-formed with GT

@@ -7,6 +7,7 @@ an independent parse.
 """
 
 import os
+import pathlib
 import shutil
 import tempfile
 
@@ -17,7 +18,7 @@ from haplohyped_tpu.core.constants import SNP_STRUCT_DTYPE
 from haplohyped_tpu.pipeline.vcf_to_h5 import VCFtoHDF5Converter
 from haplohyped_tpu.storage import VCFH5Reader
 
-from tests.test_vcf_decode import SAMPLES, reference_parse
+from tests.test_vcf_decode import corpus_samples, reference_parse
 
 
 class TestVCFtoHDF5Converter:
@@ -105,13 +106,14 @@ class TestEndToEndConversion:
         assert all(r.n_snps == 1000 for r in results)
 
     def test_final_artifact_layout(self, converted_cohort):
-        conv, _, _ = converted_cohort
+        conv, _, data_dir = converted_cohort
+        samples = corpus_samples(pathlib.Path(data_dir))
         import h5py
 
         assert os.path.exists(conv.config.final_h5_path)
         with h5py.File(conv.config.final_h5_path, "r") as f:
             donors = sorted(f.keys())
-            assert donors == sorted(f"donor_{s}" for s in SAMPLES)
+            assert donors == sorted(f"donor_{s}" for s in samples)
             for d in donors:
                 assert list(f[d].keys()) == ["chr_22"]
                 dset = f[d]["chr_22"]["snp_data"]
@@ -122,9 +124,10 @@ class TestEndToEndConversion:
         conv, _, _ = converted_cohort
         assert not os.path.exists(conv.tmp_dir)
 
-    @pytest.mark.parametrize("sample", SAMPLES)
-    def test_values_match_independent_parse(self, converted_cohort, sample):
+    @pytest.mark.parametrize("sample_idx", [0, 1, 2])
+    def test_values_match_independent_parse(self, converted_cohort, sample_idx):
         conv, _, data_dir = converted_cohort
+        sample = corpus_samples(pathlib.Path(data_dir))[sample_idx]
         expected = reference_parse(
             os.path.join(data_dir, "chr22.filtered.vcf.gz"), sample
         )
@@ -138,15 +141,17 @@ class TestEndToEndConversion:
         assert np.array_equal(struct, exp)
 
     def test_reader_listing(self, converted_cohort):
-        conv, _, _ = converted_cohort
+        conv, _, data_dir = converted_cohort
+        samples = corpus_samples(pathlib.Path(data_dir))
         with VCFH5Reader(conv.config.final_h5_path) as reader:
-            assert sorted(reader.donors()) == sorted(SAMPLES)
-            assert reader.chromosomes(SAMPLES[0]) == ["22"]
+            assert sorted(reader.donors()) == sorted(samples)
+            assert reader.chromosomes(samples[0]) == ["22"]
             with pytest.raises(KeyError):
                 reader.fetch_genotypes("ghost", 22)
 
     def test_blosc_filter_in_pipeline(self, converted_cohort):
-        conv, _, _ = converted_cohort
+        conv, _, data_dir = converted_cohort
+        samples = corpus_samples(pathlib.Path(data_dir))
         from haplohyped_tpu.storage import blosc_available
 
         if not blosc_available():
@@ -154,7 +159,7 @@ class TestEndToEndConversion:
         import h5py
 
         with h5py.File(conv.config.final_h5_path, "r") as f:
-            dset = f[f"donor_{SAMPLES[0]}"]["chr_22"]["snp_data"]
+            dset = f[f"donor_{samples[0]}"]["chr_22"]["snp_data"]
             assert "32001" in dset._filters
             cd = dset._filters["32001"]
             # (filter_rev, blosc_fmt, typesize, chunkbytes, clevel, shuffle, lz4hc)
@@ -175,13 +180,10 @@ class TestResume:
             chromosomes=[22],
             resume=True,
         )
-        r1 = conv.genotype_vcf_to_hdf5(
-            conv.config.vcf_path(22), SAMPLES[0], 22
-        )
+        sample0 = corpus_samples(test_data_dir)[0]
+        r1 = conv.genotype_vcf_to_hdf5(conv.config.vcf_path(22), sample0, 22)
         assert not r1.skipped and r1.n_snps == 1000
-        r2 = conv.genotype_vcf_to_hdf5(
-            conv.config.vcf_path(22), SAMPLES[0], 22
-        )
+        r2 = conv.genotype_vcf_to_hdf5(conv.config.vcf_path(22), sample0, 22)
         assert r2.skipped
         shutil.rmtree(conv.tmp_dir, ignore_errors=True)
 
@@ -196,4 +198,4 @@ class TestResume:
             chromosomes=[22],
         )
         with pytest.raises(Exception):
-            conv.process_donor(SAMPLES[0])
+            conv.process_donor(corpus_samples(test_data_dir)[0])
