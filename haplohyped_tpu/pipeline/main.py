@@ -3,6 +3,7 @@ which registered a nonexistent module — fixed here)."""
 
 import click
 
+from haplohyped_tpu.pipeline.doctor import main as doctor_cmd
 from haplohyped_tpu.pipeline.fasta_encoder import main as fasta_encoder_cmd
 from haplohyped_tpu.pipeline.vcf_to_h5 import main as vcf_to_h5_cmd
 
@@ -14,6 +15,7 @@ def main():
 
 main.add_command(vcf_to_h5_cmd, name="vcf_to_h5")
 main.add_command(fasta_encoder_cmd, name="fasta_encoder")
+main.add_command(doctor_cmd, name="doctor")
 
 
 if __name__ == "__main__":

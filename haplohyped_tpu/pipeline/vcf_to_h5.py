@@ -37,6 +37,7 @@ from haplohyped_tpu.pipeline.records import (
     snp_struct_from_decoded,
     snp_struct_from_frames,
 )
+from haplohyped_tpu.core.metrics import GLOBAL_METRICS
 from haplohyped_tpu.storage.blosc import cohort_compression_kwargs, set_blosc_nthreads
 
 logger = logging.getLogger("haplohyped_tpu.vcf_to_h5")
@@ -151,16 +152,20 @@ class VCFtoHDF5Converter:
         try:
             chrom_str = f"chr{chromosome}"
             if donor_id:
-                snp_struct, n_records = self._parse_snps(data_path, donor_id, chrom_str)
+                with GLOBAL_METRICS.timer("parse"):
+                    snp_struct, n_records = self._parse_snps(data_path, donor_id, chrom_str)
                 res.n_records = n_records
                 res.n_snps = int(snp_struct.shape[0])
+                GLOBAL_METRICS.count("records_seen", n_records)
+                GLOBAL_METRICS.count("snps", res.n_snps)
 
-                with h5py.File(tmp_h5_file, "w") as h5_gen_file:
+                with GLOBAL_METRICS.timer("h5_write"), h5py.File(tmp_h5_file, "w") as h5_gen_file:
                     group_path = f"donor_{donor_id}/chr_{chromosome}"
                     group = h5_gen_file.create_group(group_path)
                     group.create_dataset(
                         SNP_DATASET_NAME, data=snp_struct, **cohort_compression_kwargs()
                     )
+                GLOBAL_METRICS.count("h5_bytes", snp_struct.nbytes)
                 logger.info(
                     "Loaded %d SNPs for sample %s and chromosome %s",
                     res.n_snps,
@@ -261,6 +266,7 @@ class VCFtoHDF5Converter:
                 wall,
                 n_var / wall if wall > 0 else 0,
             )
+            GLOBAL_METRICS.log_summary("vcf_to_h5")
             return self.results
         finally:
             if cleanup:
