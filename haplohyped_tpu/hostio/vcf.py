@@ -70,6 +70,21 @@ class VCFSource:
                 break
         raise RuntimeError("VCF has no #CHROM header line")
 
+    def seqnames(self) -> list[str]:
+        """Contig names from ``##contig`` header lines
+        (BcfHeader::getSeqnames parity)."""
+        text = _read_text(self.path)
+        out = []
+        for line in text.split(b"\n"):
+            if not line.startswith(b"#"):
+                break
+            if line.startswith(b"##contig=<"):
+                body = line[len(b"##contig=<") :].rstrip(b"\r>")
+                for part in body.split(b","):
+                    if part.startswith(b"ID="):
+                        out.append(part[3:].decode())
+        return out
+
     # -- framing --------------------------------------------------------
 
     def frame(self, sample: str | None = None, region: str | None = None) -> FramedRecords:

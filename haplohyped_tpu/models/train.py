@@ -119,6 +119,30 @@ def make_train_step(model: HaploFormer, tx: optax.GradientTransformation, mesh: 
     )
 
 
+def save_checkpoint(state: TrainState, ckpt_dir: str, step: int | None = None) -> str:
+    """Persist a TrainState with orbax (training checkpoint/resume — the
+    reference has no checkpointing at all)."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    step = int(state.step) if step is None else step
+    path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step}"))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.device_get(state))
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore_checkpoint(path: str, template: TrainState) -> TrainState:
+    """Restore a TrainState saved by :func:`save_checkpoint`."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(path, jax.device_get(template))
+    return TrainState(*restored) if not isinstance(restored, TrainState) else restored
+
+
 def train_on_sampler(
     sampler,
     model: HaploFormer | None = None,
