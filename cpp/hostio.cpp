@@ -834,6 +834,30 @@ int64_t hh_bgzf_uoffset(void *handle, int64_t i) {
     return (int64_t)h->blocks[(size_t)i].uoffset;
 }
 
+int64_t hh_bgzf_coffset(void *handle, int64_t i) {
+    HHBgzf *h = (HHBgzf *)handle;
+    if (i < 0) return -1;
+    if ((size_t)i >= h->blocks.size()) return (int64_t)h->raw.size();
+    return (int64_t)h->blocks[(size_t)i].coffset;
+}
+
+/* Block index containing compressed offset coffset (exact match expected
+ * for tabix virtual offsets); -1 if out of range. */
+int64_t hh_bgzf_block_at(void *handle, int64_t coffset) {
+    HHBgzf *h = (HHBgzf *)handle;
+    size_t lo = 0, hi = h->blocks.size();
+    while (lo < hi) {
+        size_t mid = (lo + hi) / 2;
+        if ((int64_t)h->blocks[mid].coffset < coffset)
+            lo = mid + 1;
+        else
+            hi = mid;
+    }
+    if (lo < h->blocks.size() && (int64_t)h->blocks[lo].coffset == coffset)
+        return (int64_t)lo;
+    return lo > 0 ? (int64_t)(lo - 1) : 0;
+}
+
 /* Decompress blocks [lo, hi) into dst (caller-sized); fused newline scan.
  * nl_out: malloc'd newline offsets RELATIVE to range start. */
 int hh_bgzf_decode_range(void *handle, int64_t lo, int64_t hi, int threads,

@@ -67,6 +67,10 @@ def _load() -> ctypes.CDLL | None:
                 lib.hh_bgzf_close.argtypes = [ctypes.c_void_p]
                 lib.hh_bgzf_uoffset.argtypes = [ctypes.c_void_p, ctypes.c_int64]
                 lib.hh_bgzf_uoffset.restype = ctypes.c_int64
+                lib.hh_bgzf_coffset.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+                lib.hh_bgzf_coffset.restype = ctypes.c_int64
+                lib.hh_bgzf_block_at.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+                lib.hh_bgzf_block_at.restype = ctypes.c_int64
                 lib.hh_bgzf_decode_range.argtypes = [
                     ctypes.c_void_p,
                     ctypes.c_int64,
@@ -257,6 +261,13 @@ class BgzfRangeReader:
 
     def uoffset(self, i: int) -> int:
         return int(self._lib.hh_bgzf_uoffset(self._h, i))
+
+    def coffset(self, i: int) -> int:
+        return int(self._lib.hh_bgzf_coffset(self._h, i))
+
+    def block_at(self, coffset: int) -> int:
+        """Block index whose compressed offset contains ``coffset``."""
+        return int(self._lib.hh_bgzf_block_at(self._h, coffset))
 
     def decode_range(
         self, lo: int, hi: int, threads: int, out: np.ndarray, out_off: int = 0

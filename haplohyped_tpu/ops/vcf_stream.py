@@ -60,14 +60,37 @@ def _lines_from_newlines(
     return starts[keep], lens[keep], consumed
 
 
+def _read_header_streaming(reader, threads: int) -> tuple[int, list[str]]:
+    """Decode leading blocks until the #CHROM line is found."""
+    nb = reader.n_blocks
+    hi = 1
+    while True:
+        size = reader.uoffset(hi)
+        buf = np.empty(size, np.uint8)
+        reader.decode_range(0, hi, threads, buf)
+        try:
+            return _parse_header_bytes(buf)
+        except RuntimeError:
+            if hi >= nb:
+                raise
+            hi = min(hi * 4, nb)
+
+
 def tokenize_vcf_streaming(
     path: str,
     sample: str | None,
     threads: int = 2,
     chunk_bytes: int = 48 << 20,
     window_cap: int = 4096,
+    region: tuple[str, int, int] | None = None,
 ) -> dict[str, np.ndarray]:
     """Tokenize a BGZF VCF with the pipelined chunk path.
+
+    ``region=(chrom, beg0, end0)`` (0-based half-open; -1 for unbounded)
+    uses a sibling ``.tbi`` index (see :mod:`haplohyped_tpu.hostio.tabix`)
+    to seek straight to the first relevant BGZF block and stops early once
+    records pass the region end.  Position/chromosome filtering itself is
+    left to the caller's masks (``snp_struct_from_decoded``).
 
     Returns host decode columns (same schema as ``tokenize_vcf_device``).
     """
@@ -76,9 +99,22 @@ def tokenize_vcf_streaming(
 
     reader = native.BgzfRangeReader(path)
     try:
+        start_block, skip_bytes = 0, 0
+        stop_after = None  # 0-based position after which decoding can stop
+        if region is not None:
+            from haplohyped_tpu.hostio.tabix import region_virtual_offset
+
+            chrom_r, beg_r, end_r = region
+            voff = region_virtual_offset(path, chrom_r, max(beg_r, 0))
+            if voff:
+                start_block = reader.block_at(voff >> 16)
+                skip_bytes = voff & 0xFFFF
+            if end_r is not None and end_r >= 0:
+                stop_after = end_r
+
         # pick block ranges of ~chunk_bytes decompressed size
         ranges: list[tuple[int, int]] = []
-        lo = 0
+        lo = start_block
         nb = reader.n_blocks
         while lo < nb:
             hi = lo + 1
@@ -89,7 +125,14 @@ def tokenize_vcf_streaming(
             lo = hi
 
         sample_col = -1
-        data_start = None
+        if sample and start_block > 0:
+            # seeked past the header: parse it separately
+            _, samples = _read_header_streaming(reader, threads)
+            if sample not in samples:
+                raise RuntimeError(f"sample not found in VCF header: {sample}")
+            sample_col = samples.index(sample)
+
+        data_start = 0 if start_block > 0 else None
         carry = np.zeros(0, np.uint8)
         device_outs = []
         pending_W = None
@@ -101,6 +144,10 @@ def tokenize_vcf_streaming(
                 buf[: carry.shape[0]] = carry
             nl = reader.decode_range(blo, bhi, threads, buf, out_off=carry.shape[0])
             nl = nl + carry.shape[0]
+            if ri == 0 and skip_bytes:
+                # tabix voffset points at a record start inside the block
+                buf = buf[skip_bytes:]
+                nl = nl[np.searchsorted(nl, skip_bytes) :] - skip_bytes
 
             if data_start is None:
                 data_start, samples = _parse_header_bytes(buf)
@@ -122,6 +169,18 @@ def tokenize_vcf_streaming(
 
             if starts.shape[0] == 0:
                 continue
+
+            if stop_after is not None:
+                # early stop: records are position-sorted, so once the
+                # chunk's first record starts past the region end, stop
+                s0 = int(starts[0])
+                first_line = bytes(buf[s0 : s0 + int(lens[0])])
+                try:
+                    pos0 = int(first_line.split(b"\t", 2)[1]) - 1
+                    if pos0 > stop_after:
+                        break
+                except (IndexError, ValueError):
+                    pass
             W = choose_window(int(lens.max()), cap=window_cap)
             pending_W = W if pending_W is None else max(pending_W, W)
 
