@@ -82,6 +82,21 @@ def _load() -> ctypes.CDLL | None:
                     ctypes.c_char_p,
                     ctypes.c_int,
                 ]
+                lib.hh_is_bcf.argtypes = [ctypes.c_char_p]
+                lib.hh_bcf_samples.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_void_p),
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.c_char_p,
+                    ctypes.c_int,
+                ]
+                lib.hh_bcf_parse.argtypes = (
+                    [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
+                    + [ctypes.POINTER(ctypes.c_void_p)] * 10
+                    + [ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_void_p)]
+                    + [ctypes.c_char_p, ctypes.c_int]
+                )
                 lib.hh_fasta_open.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
                 lib.hh_fasta_open.restype = ctypes.c_void_p
                 lib.hh_fasta_close.argtypes = [ctypes.c_void_p]
@@ -240,6 +255,82 @@ def vcf_text(path: str, threads: int = 1) -> VCFText:
         samples,
         _frees=[text_p.value, off_p.value, len_p.value],
     )
+
+
+def is_bcf(path: str) -> bool:
+    """True if the file is a BCF2 (plain or BGZF-wrapped)."""
+    lib = _load()
+    if lib is None:
+        return False
+    return bool(lib.hh_is_bcf(path.encode()))
+
+
+def bcf_samples(path: str, threads: int = 1) -> list[str]:
+    lib = _load()
+    assert lib is not None
+    out = ctypes.c_void_p()
+    n = ctypes.c_int64()
+    err = ctypes.create_string_buffer(512)
+    rc = lib.hh_bcf_samples(path.encode(), threads, ctypes.byref(out), ctypes.byref(n), err, 512)
+    if rc != 0:
+        raise RuntimeError(err.value.decode() or f"hh_bcf_samples failed ({rc})")
+    try:
+        raw = ctypes.string_at(out.value)
+    finally:
+        lib.hh_free(out)
+    return raw.decode().split("\n") if raw else []
+
+
+def bcf_parse(path: str, sample: str | None, threads: int = 1) -> dict:
+    """Parse a BCF into decoded per-record columns + the contig name table."""
+    lib = _load()
+    assert lib is not None
+    ptrs = [ctypes.c_void_p() for _ in range(10)]
+    n = ctypes.c_int64()
+    contigs_p = ctypes.c_void_p()
+    err = ctypes.create_string_buffer(512)
+    rc = lib.hh_bcf_parse(
+        path.encode(),
+        sample.encode() if sample else None,
+        threads,
+        *[ctypes.byref(p) for p in ptrs],
+        ctypes.byref(n),
+        ctypes.byref(contigs_p),
+        err,
+        512,
+    )
+    if rc != 0:
+        raise RuntimeError(err.value.decode() or f"hh_bcf_parse failed ({rc})")
+    nn = int(n.value)
+
+    def arr(p, dtype, count):
+        if count == 0:
+            return np.zeros(0, dtype)
+        ct = {
+            np.int32: ctypes.c_int32,
+            np.uint8: ctypes.c_uint8,
+            np.int8: ctypes.c_int8,
+        }[dtype]
+        return np.ctypeslib.as_array(ctypes.cast(p, ctypes.POINTER(ct)), shape=(count,)).copy()
+
+    out = {
+        "rid": arr(ptrs[0], np.int32, nn),
+        "start": arr(ptrs[1], np.int32, nn),
+        "stop": arr(ptrs[2], np.int32, nn),
+        "ref_char": arr(ptrs[3], np.uint8, nn),
+        "alt_char": arr(ptrs[4], np.uint8, nn),
+        "ref_len": arr(ptrs[5], np.int32, nn),
+        "alt_len": arr(ptrs[6], np.int32, nn),
+        "phase1": arr(ptrs[7], np.int8, nn),
+        "phase2": arr(ptrs[8], np.int8, nn),
+        "bcf_flags": arr(ptrs[9], np.uint8, nn),
+    }
+    raw = ctypes.string_at(contigs_p)
+    out["contigs"] = raw.decode().split("\n") if raw else []
+    for p in ptrs:
+        lib.hh_free(p)
+    lib.hh_free(contigs_p)
+    return out
 
 
 class BgzfRangeReader:

@@ -184,6 +184,12 @@ class VCFtoHDF5Converter:
         """Parse one sample's SNPs: on-device tokenizer when possible, framed
         fallback otherwise.  Returns (snp_struct, total_records_seen)."""
         from haplohyped_tpu.hostio import native
+        from haplohyped_tpu.hostio.bcf import bcf_decoded_columns, is_bcf
+
+        if is_bcf(data_path):
+            decoded = bcf_decoded_columns(data_path, donor_id, threads=self.cxx_threads)
+            struct = snp_struct_from_decoded(decoded, decoded["chrom"], chrom_filter=chrom_str)
+            return struct, int(decoded["start"].shape[0])
 
         if self.config.device_decode and native.native_available():
             vt = native.vcf_text(data_path, threads=self.cxx_threads)
