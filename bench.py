@@ -251,6 +251,60 @@ def bench_windows() -> float:
     return wps
 
 
+def bench_storage(n_records: int = 1_000_000) -> dict:
+    """HDF5+Blosc write/read/random-access throughput + compression ratio
+    (the reference's other headline numbers: 256K wr/s, 342K rd/s, 6.5x,
+    1597 slices/s on Xeon+NVMe)."""
+    import tempfile
+
+    import h5py
+
+    from haplohyped_tpu.core.constants import SNP_STRUCT_DTYPE
+    from haplohyped_tpu.storage import blosc_available, cohort_compression_kwargs
+
+    rng = np.random.default_rng(0)
+    data = np.zeros(n_records, dtype=SNP_STRUCT_DTYPE)
+    data["chrom"] = b"chr1"
+    data["start"] = np.sort(rng.integers(0, 250_000_000, n_records)).astype(np.uint32)
+    data["stop"] = data["start"] + 1
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    data["ref"] = bases[rng.integers(0, 4, n_records)].view("S1").astype("S10")
+    data["alt"] = bases[rng.integers(0, 4, n_records)].view("S1").astype("S10")
+    data["phase1"] = rng.integers(0, 2, n_records)
+    data["phase2"] = rng.integers(0, 2, n_records)
+
+    path = tempfile.mktemp(suffix=".h5")
+    try:
+        t0 = time.time()
+        with h5py.File(path, "w") as f:
+            f.create_dataset("snp_data", data=data, **cohort_compression_kwargs())
+        wr = n_records / (time.time() - t0)
+        ratio = data.nbytes / os.path.getsize(path)
+
+        t0 = time.time()
+        with h5py.File(path, "r") as f:
+            back = f["snp_data"][()]
+        rd = n_records / (time.time() - t0)
+        assert np.array_equal(back, data)
+
+        with h5py.File(path, "r") as f:
+            d = f["snp_data"]
+            starts = rng.integers(0, n_records - 1000, 2000)
+            t0 = time.time()
+            for s in starts:
+                _ = d[s : s + 500]
+            slices = len(starts) / (time.time() - t0)
+        log(
+            f"storage (blosc={blosc_available()}): write {wr:,.0f} rec/s "
+            f"(ref 256K), read {rd:,.0f} rec/s (ref 342K), "
+            f"ratio {ratio:.1f}x (ref 6.5x), random {slices:,.0f} slices/s (ref 1597)"
+        )
+        return {"write": wr, "read": rd, "ratio": ratio, "slices": slices}
+    finally:
+        if os.path.exists(path):
+            os.unlink(path)
+
+
 def main() -> None:
     threads = os.cpu_count() or 1
     vcf, sample = ensure_corpus()
@@ -263,6 +317,11 @@ def main() -> None:
     except Exception as exc:  # sampler bench is auxiliary
         log(f"window bench failed: {exc}")
         wps = None
+
+    try:
+        bench_storage()
+    except Exception as exc:  # auxiliary
+        log(f"storage bench failed: {exc}")
 
     result = {
         "metric": "variants/sec/chip (parse+encode)",

@@ -119,6 +119,55 @@ def make_train_step(model: HaploFormer, tx: optax.GradientTransformation, mesh: 
     )
 
 
+def make_fused_train_step(model: HaploFormer, tx, sampler, mesh: Mesh | None = None):
+    """Fuse sampling INTO the jitted train step: one dispatch per step draws
+    the haplotype batch on device and immediately trains on it — there is no
+    host-visible data path at all (the fully TPU-native answer to the
+    reference's DataLoader loop).
+
+    Returns ``fused(state, step_idx) -> (state, metrics)``.
+    """
+    import jax.numpy as jnp
+
+    from haplohyped_tpu.data.sampler import _sample_batch
+
+    flat, offsets, lengths = sampler._genome_dev
+    pos, ref, alt, p1, p2, counts = sampler._cohort_dev
+    regions = sampler._regions_dev
+    base_key = sampler._base_key
+    cfg = sampler.config
+
+    def fused(state: TrainState, step_idx):
+        batch = _sample_batch(
+            base_key,
+            step_idx,
+            flat,
+            offsets,
+            lengths,
+            regions,
+            pos,
+            ref,
+            alt,
+            p1,
+            p2,
+            counts,
+            L=cfg.seq_length,
+            K=cfg.max_variants_per_window,
+            B=cfg.batch_size,
+            num_channels=sampler.num_channels,
+            onehot_dtype=sampler.onehot_dtype,
+        )
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, model, batch.hap1, batch.hap2, batch.n_variants
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
+        return new_state, {"loss": loss, **aux}
+
+    return jax.jit(fused)
+
+
 def save_checkpoint(state: TrainState, ckpt_dir: str, step: int | None = None) -> str:
     """Persist a TrainState with orbax (training checkpoint/resume — the
     reference has no checkpointing at all)."""
