@@ -189,7 +189,7 @@ def choose_window(max_line_len: int, cap: int = 4096) -> int:
 def tokenize_vcf_device(
     vcf_text_obj,
     sample: str | None,
-    chunk_lines: int = 4_000_000,
+    chunk_lines: int | None = None,
     window_cap: int = 4096,
 ):
     """Host driver: ship text + offsets to device, tokenize in chunks.
@@ -218,6 +218,10 @@ def tokenize_vcf_device(
 
     max_len = int(vcf_text_obj.line_lengths.max())
     W = choose_window(max_len, cap=window_cap)
+    if chunk_lines is None:
+        # bound device working set: the (chunk, 2W) window plus int32
+        # intermediates cost ~10*2W bytes/line
+        chunk_lines = max(1 << 16, (1 << 31) // (20 * W))
 
     # pad text to a row-multiple (+ one slack row) for the aligned fetch
     T = vcf_text_obj.text.shape[0]

@@ -141,3 +141,35 @@ class TestBGZF:
             sa = snp_struct_from_decoded(a, a["chrom"], chrom_filter=corpus["chrom"])
             sb = _struct_via_tokenizer(corpus["vcf"], corpus["samples"][0], corpus["chrom"])
             assert np.array_equal(sa, sb)
+
+
+class TestWideCohort:
+    def test_many_samples_window_growth(self, tmp_path):
+        """200-sample lines (~1.7 kB) force a bigger tokenizer window; the
+        decode must stay exact for early, middle and last sample columns."""
+        import gzip
+
+        rng = np.random.default_rng(9)
+        n_samples, n_var = 200, 500
+        samples = [f"s{i:03d}" for i in range(n_samples)]
+        gts = rng.integers(0, 2, size=(n_var, n_samples, 2))
+        vcf = tmp_path / "wide.vcf.gz"
+        with gzip.open(vcf, "wt") as f:
+            f.write("##fileformat=VCFv4.2\n")
+            f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t" + "\t".join(samples) + "\n")
+            for i in range(n_var):
+                row = "\t".join(f"{gts[i, s, 0]}|{gts[i, s, 1]}" for s in range(n_samples))
+                f.write(f"chr9\t{1000 + i * 7}\trs{i}\tA\tG\t.\tPASS\t.\tGT\t{row}\n")
+
+        for col in (0, 97, 199):
+            vt = native.vcf_text(str(vcf))
+            try:
+                assert int(vt.line_lengths.max()) > 128  # window must grow
+                dec = tokenize_vcf_device(vt, samples[col])
+                assert not dec["long_line"].any()
+                s = snp_struct_from_decoded(dec, dec["chrom"], chrom_filter="chr9")
+            finally:
+                vt.close()
+            assert s.shape[0] == n_var
+            assert np.array_equal(s["phase1"], gts[:, col, 0].astype(np.int8))
+            assert np.array_equal(s["phase2"], gts[:, col, 1].astype(np.int8))
