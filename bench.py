@@ -176,16 +176,15 @@ def bench_parse_encode(vcf: str, sample: str, threads: int) -> tuple[int, float]
     # --- pipelined streaming path (host decompress overlaps device) ---
     from haplohyped_tpu.ops.vcf_stream import tokenize_vcf_streaming
 
-    stream_s = []
-    for _ in range(3):
-        t0 = time.time()
-        dec = tokenize_vcf_streaming(vcf, sample, threads=threads)
-        stream_s.append(time.time() - t0)
-    stream_best = min(stream_s)
+    # (Note: this path device_gets its outputs, which through a relayed TPU
+    # is slow; on directly-attached TPUs it approaches the staged numbers.)
+    t0 = time.time()
+    dec = tokenize_vcf_streaming(vcf, sample, threads=threads)
+    stream_best = time.time() - t0
     assert int(dec["start"].shape[0]) == n
     log(
-        f"streaming parse+encode: {[f'{t:.3f}' for t in stream_s]}s "
-        f"(best {stream_best:.3f}) = {n / stream_best:,.0f} variants/s"
+        f"streaming parse+encode (bounded memory, incl. d2h): "
+        f"{stream_best:.3f}s = {n / stream_best:,.0f} variants/s"
     )
 
     best = min(e2e, stream_best)
@@ -237,14 +236,14 @@ def bench_windows() -> float:
         spans,
         SamplerConfig(seq_length=L, batch_size=B, seed=0, max_variants_per_window=64),
     )
-    key = jax.random.PRNGKey(0)
-    b = sampler.sample(key)
-    jax.block_until_ready(b.hap1)
     iters = 20
-    t0 = time.time()
-    for i in range(iters):
-        b = sampler.sample()
+    keys = list(jax.random.split(jax.random.PRNGKey(0), iters + 1))
+    jax.block_until_ready(keys)
+    b = sampler.sample(keys[-1])
     jax.block_until_ready(b.hap1)
+    t0 = time.time()
+    outs = [sampler.sample(keys[i]) for i in range(iters)]
+    jax.block_until_ready([o.hap1 for o in outs])
     dt = (time.time() - t0) / iters
     wps = B / dt
     log(f"sampler: {B} windows/batch in {dt * 1e3:.2f} ms = {wps:,.0f} windows/s")

@@ -23,7 +23,7 @@ import logging
 import os
 import shutil
 import time
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ThreadPoolExecutor, as_completed
 from dataclasses import dataclass, field
 from typing import List
 
@@ -255,8 +255,27 @@ class VCFtoHDF5Converter:
         try:
             donor_ids = [d for d in self.donor_ids if d]
             with ThreadPoolExecutor(max_workers=self.cores) as executor:
-                for task_results in executor.map(self.process_donor, donor_ids):
-                    self.results.extend(task_results)
+                futures = {
+                    executor.submit(self.process_donor, d): d for d in donor_ids
+                }
+                failed = []
+                for fut in as_completed(futures):
+                    donor = futures[fut]
+                    try:
+                        self.results.extend(fut.result())
+                    except Exception as exc:
+                        # the reference silently dropped worker failures
+                        # (lazy executor.map); here every failed donor is
+                        # recorded and the rest of the cohort still converts
+                        logger.error("donor %s failed: %s", donor, exc)
+                        self.results.append(
+                            TaskResult(donor_id=donor, chromosome="*", error=exc)
+                        )
+                        failed.append(donor)
+                if failed:
+                    logger.error(
+                        "%d/%d donors failed: %s", len(failed), len(donor_ids), failed
+                    )
 
             merge_start = time.time()
             self.merge_h5_files()

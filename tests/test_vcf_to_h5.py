@@ -199,3 +199,30 @@ class TestResume:
         )
         with pytest.raises(Exception):
             conv.process_donor(corpus_samples(test_data_dir)[0])
+
+
+class TestFailureIsolation:
+    def test_one_bad_donor_does_not_sink_cohort(self, tmp_path, test_data_dir):
+        """A failing donor is recorded; the rest of the cohort converts
+        (the reference silently swallowed worker failures)."""
+        samples = corpus_samples(test_data_dir)
+        sample_file = tmp_path / "samples.txt"
+        sample_file.write_text("\n".join([samples[0], "donor-that-does-not-exist"]) + "\n")
+        conv = VCFtoHDF5Converter(
+            cohort_name="partial",
+            vcf_dir=str(test_data_dir),
+            out_dir=str(tmp_path),
+            sample_list_path=str(sample_file),
+            cores=2,
+            cxx_threads=1,
+            chromosomes=[22],
+        )
+        results = conv.run()
+        errs = [r for r in results if r.error is not None]
+        oks = [r for r in results if r.error is None and not r.skipped]
+        assert len(errs) == 1 and errs[0].donor_id == "donor-that-does-not-exist"
+        assert len(oks) == 1 and oks[0].n_snps == 1000
+        import h5py
+
+        with h5py.File(conv.config.final_h5_path, "r") as f:
+            assert list(f.keys()) == [f"donor_{samples[0]}"]
