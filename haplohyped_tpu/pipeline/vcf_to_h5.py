@@ -22,6 +22,7 @@ from __future__ import annotations
 import logging
 import os
 import shutil
+import threading
 import time
 from concurrent.futures import ThreadPoolExecutor, as_completed
 from dataclasses import dataclass, field
@@ -41,6 +42,12 @@ from haplohyped_tpu.core.metrics import GLOBAL_METRICS
 from haplohyped_tpu.storage.blosc import cohort_compression_kwargs, set_blosc_nthreads
 
 logger = logging.getLogger("haplohyped_tpu.vcf_to_h5")
+
+#: Serializes accelerator decode across converter worker threads: host
+#: decompression/framing parallelizes freely, but concurrent first-time jit
+#: compilation from multiple threads can wedge remote-compile backends, and
+#: the decode kernel is fast enough that device work never bottlenecks.
+_device_lock = threading.Lock()
 
 
 @dataclass
@@ -196,7 +203,8 @@ class VCFtoHDF5Converter:
             try:
                 from haplohyped_tpu.ops.vcf_tokenize import tokenize_vcf_device
 
-                decoded = tokenize_vcf_device(vt, donor_id)
+                with _device_lock:
+                    decoded = tokenize_vcf_device(vt, donor_id)
                 if not decoded["long_line"].any():
                     struct = snp_struct_from_decoded(
                         decoded, decoded["chrom"], chrom_filter=chrom_str
@@ -313,9 +321,32 @@ class VCFtoHDF5Converter:
     default=True,
     help="Run the SNP decode kernel on the accelerator",
 )
-def main(cohort_name, vcf, outdir, sample_list, cores, cxx_threads, resume, device_decode):
+@click.option(
+    "--chromosomes",
+    default="auto",
+    type=str,
+    help="Comma-separated chromosome numbers, or 'auto' to use the "
+    "chr{N}.filtered.vcf.gz files present in --vcf (default)",
+)
+def main(cohort_name, vcf, outdir, sample_list, cores, cxx_threads, resume,
+         device_decode, chromosomes):
     """Convert a cohort of per-chromosome VCFs to a genotype HDF5."""
     logging.basicConfig(level=logging.INFO)
+    if chromosomes == "auto":
+        from haplohyped_tpu.core.constants import AUTOSOMES, VCF_FILENAME_PATTERN
+
+        chrom_list = [
+            c
+            for c in AUTOSOMES
+            if os.path.exists(os.path.join(vcf, VCF_FILENAME_PATTERN.format(chromosome=c)))
+        ]
+        if not chrom_list:
+            raise click.ClickException(
+                f"no chr{{N}}.filtered.vcf.gz files found in {vcf}"
+            )
+        logger.info("auto-discovered chromosomes: %s", chrom_list)
+    else:
+        chrom_list = [int(c) if c.isdigit() else c for c in chromosomes.split(",")]
     converter = VCFtoHDF5Converter(
         cohort_name=cohort_name,
         vcf_dir=vcf,
@@ -325,8 +356,12 @@ def main(cohort_name, vcf, outdir, sample_list, cores, cxx_threads, resume, devi
         cxx_threads=cxx_threads,
         resume=resume,
         device_decode=device_decode,
+        chromosomes=chrom_list,
     )
-    converter.run()
+    results = converter.run()
+    n_err = sum(1 for r in results if r.error is not None)
+    if n_err:
+        raise click.ClickException(f"{n_err} conversion tasks failed (see log)")
 
 
 if __name__ == "__main__":
