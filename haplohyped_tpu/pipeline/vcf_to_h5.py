@@ -49,6 +49,52 @@ logger = logging.getLogger("haplohyped_tpu.vcf_to_h5")
 #: the decode kernel is fast enough that device work never bottlenecks.
 _device_lock = threading.Lock()
 
+_d2h_ok: bool | None = None
+
+
+def _device_transfer_healthy(timeout_s: float = 20.0) -> bool:
+    """Probe device->host transfer once per process.
+
+    Remote/tunneled accelerators can wedge on d2h while executing fine; the
+    converter's decode output must come back to the host for HDF5 writing,
+    so if the probe stalls we fall back to the numpy decoder instead of
+    hanging the pipeline.  (Directly-attached TPUs always pass.)
+    """
+    global _d2h_ok
+    with _device_lock:
+        if _d2h_ok is not None:
+            return _d2h_ok
+
+        result: list[bool] = []
+
+        def probe() -> None:
+            try:
+                import jax
+                import jax.numpy as jnp
+
+                x = jnp.arange(16) * 2
+                jax.block_until_ready(x)
+                result.append(int(np.asarray(jax.device_get(x))[1]) == 2)
+            except Exception as exc:  # noqa: BLE001
+                logger.warning("device probe failed (%s)", exc)
+                result.append(False)
+
+        # daemon thread: if the transfer wedges, the thread must not block
+        # process exit
+        th = threading.Thread(target=probe, daemon=True)
+        th.start()
+        th.join(timeout=timeout_s)
+        if th.is_alive():
+            logger.warning(
+                "device->host transfer probe stalled (>%.0fs); "
+                "falling back to host decode",
+                timeout_s,
+            )
+            _d2h_ok = False
+        else:
+            _d2h_ok = bool(result and result[0])
+        return _d2h_ok
+
 
 @dataclass
 class TaskResult:
@@ -198,7 +244,11 @@ class VCFtoHDF5Converter:
             struct = snp_struct_from_decoded(decoded, decoded["chrom"], chrom_filter=chrom_str)
             return struct, int(decoded["start"].shape[0])
 
-        if self.config.device_decode and native.native_available():
+        if (
+            self.config.device_decode
+            and native.native_available()
+            and _device_transfer_healthy()
+        ):
             vt = native.vcf_text(data_path, threads=self.cxx_threads)
             try:
                 from haplohyped_tpu.ops.vcf_tokenize import tokenize_vcf_device
@@ -219,7 +269,8 @@ class VCFtoHDF5Converter:
 
         src = VCFSource(data_path, threads=self.cxx_threads)
         framed = src.frame(sample=donor_id, region=chrom_str)
-        decoded = _decode(framed.records, self.config.device_decode)
+        use_device = self.config.device_decode and _device_transfer_healthy()
+        decoded = _decode(framed.records, use_device)
         return snp_struct_from_frames(framed.records, decoded), framed.n
 
     def process_donor(self, donor_id: str) -> List[TaskResult]:
