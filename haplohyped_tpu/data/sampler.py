@@ -122,12 +122,27 @@ class DeviceHaplotypeSampler:
         onehot_dtype=jnp.float32,
     ):
         if genome.chrom_names != cohort.chrom_names:
-            # align cohort chrom axis to genome chrom axis where possible
+            # re-order/subset the cohort chrom axis into the genome's index
+            # space (chrom_idx is drawn in genome space; a mismatched cohort
+            # layout would silently apply the wrong chromosome's variants)
             missing = [c for c in genome.chrom_names if c not in cohort.chrom_names]
             if missing:
                 raise ValueError(
                     f"cohort lacks chromosomes present in genome: {missing}"
                 )
+            import numpy as _np
+
+            order = [cohort.chrom_names.index(c) for c in genome.chrom_names]
+            cohort = CohortTensors(
+                donors=cohort.donors,
+                chrom_names=list(genome.chrom_names),
+                pos=_np.ascontiguousarray(cohort.pos[:, order]),
+                ref_code=_np.ascontiguousarray(cohort.ref_code[:, order]),
+                alt_code=_np.ascontiguousarray(cohort.alt_code[:, order]),
+                phase1=_np.ascontiguousarray(cohort.phase1[:, order]),
+                phase2=_np.ascontiguousarray(cohort.phase2[:, order]),
+                counts=_np.ascontiguousarray(cohort.counts[:, order]),
+            )
         self.genome = genome
         self.cohort = cohort
         self.config = config

@@ -147,25 +147,8 @@ def build_index(bgzf_vcf: str, out_path: str | None = None) -> str:
         carry_voff = 0  # virtual offset of carry start
         import numpy as np
 
-        # compressed offsets per block: recover from uoffsets + file walk
-        with open(bgzf_vcf, "rb") as f:
-            raw = f.read()
-        coffs = []
-        off = 0
-        while off + 18 <= len(raw):
-            xlen = raw[off + 10] | (raw[off + 11] << 8)
-            p = off + 12
-            bsize = 0
-            endx = off + 12 + xlen
-            while p + 4 <= endx:
-                si1, si2 = raw[p], raw[p + 1]
-                slen = raw[p + 2] | (raw[p + 3] << 8)
-                if si1 == 66 and si2 == 67 and slen == 2:
-                    bsize = (raw[p + 4] | (raw[p + 5] << 8)) + 1
-                    break
-                p += 4 + slen
-            coffs.append(off)
-            off += bsize
+        # compressed block offsets come straight from the native scanner
+        coffs = [reader.coffset(i) for i in range(n_blocks)]
 
         def flush_line(line: bytes, voff_start: int, voff_end: int):
             nonlocal cur

@@ -29,6 +29,10 @@ def pack_2bit_device(codes: jax.Array) -> tuple[jax.Array, jax.Array]:
     two = jnp.where(is_n, 0, codes) & 0x3
     q = two.reshape(-1, 4)
     packed = q[:, 0] | (q[:, 1] << 2) | (q[:, 2] << 4) | (q[:, 3] << 6)
+    # the N mask packs 8 flags/byte; pad so any length % 4 == 0 input works
+    pad = (-is_n.shape[0]) % 8
+    if pad:
+        is_n = jnp.concatenate([is_n, jnp.zeros((pad,), bool)])
     b = is_n.reshape(-1, 8).astype(jnp.uint8)
     weights = (1 << jnp.arange(8, dtype=jnp.uint8))[None, :]
     n_mask = jnp.sum(b * weights, axis=1).astype(jnp.uint8)

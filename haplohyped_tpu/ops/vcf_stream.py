@@ -20,23 +20,29 @@ from haplohyped_tpu.ops.vcf_tokenize import choose_window, tokenize_lines
 
 
 def _parse_header_bytes(text: np.ndarray) -> tuple[int, list[str]]:
-    """Find data_start + sample names from the first chunk's bytes."""
-    data_start = 0
+    """Find data_start + sample names from the first chunk's bytes.
+
+    Raises if the header (or its final line) is truncated at the buffer end
+    so callers retry with a larger prefix — a #CHROM line cut mid-way must
+    not yield a partial sample list.
+    """
     samples: list[str] = []
+    found_chrom = False
     n = text.shape[0]
     buf = text.tobytes()
     off = 0
     while off < n and buf[off : off + 1] == b"#":
         nl = buf.find(b"\n", off)
-        end = nl if nl >= 0 else n
-        line = buf[off:end].rstrip(b"\r")
+        if nl < 0:
+            raise RuntimeError("VCF header truncated at buffer end")
+        line = buf[off:nl].rstrip(b"\r")
         if line.startswith(b"#CHROM"):
+            found_chrom = True
             samples = [f.decode() for f in line.split(b"\t")[9:]]
-        off = end + 1
-    data_start = off
-    if not samples and b"#CHROM" not in buf[:data_start]:
+        off = nl + 1
+    if not found_chrom:
         raise RuntimeError("VCF has no #CHROM header line in first chunk")
-    return data_start, samples
+    return off, samples
 
 
 def _lines_from_newlines(
@@ -181,8 +187,12 @@ def tokenize_vcf_streaming(
                         break
                 except (IndexError, ValueError):
                     pass
+            # per-chunk W: heterogeneous line lengths recompile at most
+            # log2(cap/128) times (W is a power of two); sticky max keeps
+            # later chunks on the widest-seen executable
             W = choose_window(int(lens.max()), cap=window_cap)
             pending_W = W if pending_W is None else max(pending_W, W)
+            W = pending_W
 
             # Pad text and line-count to fixed buckets so every chunk reuses
             # one compiled executable (distinct shapes would recompile the
@@ -193,7 +203,9 @@ def tokenize_vcf_streaming(
             text_pad = (-(-consumed // TEXT_BUCKET) + (consumed % TEXT_BUCKET == 0)) * TEXT_BUCKET
             tb = np.zeros(text_pad, np.uint8)
             tb[:consumed] = buf[:consumed]
-            N_BUCKET = 1 << 18
+            # scale the line bucket inversely with the window so wide-cohort
+            # chunks don't pad to 20x their real row count
+            N_BUCKET = max(1 << 12, (1 << 18) // max(1, W // 128))
             n_i = starts.shape[0]
             n_pad = -(-n_i // N_BUCKET) * N_BUCKET
             so = np.zeros(n_pad, np.int32)

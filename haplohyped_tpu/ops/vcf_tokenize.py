@@ -218,10 +218,18 @@ def tokenize_vcf_device(
 
     max_len = int(vcf_text_obj.line_lengths.max())
     W = choose_window(max_len, cap=window_cap)
+    if int(vcf_text_obj.line_offsets[-1]) + max_len >= 2**31 - 2 * W:
+        # device offsets are int32; >2GiB decompressed text must go through
+        # the chunked streaming path (chunk-relative offsets stay small)
+        raise ValueError(
+            "decompressed VCF exceeds the int32 offset range; use "
+            "haplohyped_tpu.ops.vcf_stream.tokenize_vcf_streaming"
+        )
     if chunk_lines is None:
         # bound device working set: the (chunk, 2W) window plus int32
-        # intermediates cost ~10*2W bytes/line
-        chunk_lines = max(1 << 16, (1 << 31) // (20 * W))
+        # intermediates cost ~20*2W bytes/line; floor keeps tiny chunks
+        # from dominating on short-line files
+        chunk_lines = max(1 << 14, (1 << 31) // (20 * W))
 
     # pad text to a row-multiple (+ one slack row) for the aligned fetch
     T = vcf_text_obj.text.shape[0]

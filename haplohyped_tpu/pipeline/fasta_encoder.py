@@ -172,6 +172,10 @@ class HDF5Handler:
 def encode_fasta(cfg: FastaEncodeConfig) -> str:
     """Library entry: run the full FASTA encode under a config."""
     os.makedirs(cfg.tmp_dir, exist_ok=True)
+    # the merge appends into the final file; a leftover artifact from a
+    # previous run would contribute stale chromosome groups
+    if os.path.exists(cfg.final_h5_path):
+        os.remove(cfg.final_h5_path)
     try:
         ref = ReferenceGenome(
             fasta_file=cfg.fasta_path,

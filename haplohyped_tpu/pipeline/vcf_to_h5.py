@@ -270,7 +270,11 @@ class VCFtoHDF5Converter:
         src = VCFSource(data_path, threads=self.cxx_threads)
         framed = src.frame(sample=donor_id, region=chrom_str)
         use_device = self.config.device_decode and _device_transfer_healthy()
-        decoded = _decode(framed.records, use_device)
+        if use_device:
+            with _device_lock:
+                decoded = _decode(framed.records, True)
+        else:
+            decoded = _decode(framed.records, False)
         return snp_struct_from_frames(framed.records, decoded), framed.n
 
     def process_donor(self, donor_id: str) -> List[TaskResult]:
@@ -353,8 +357,15 @@ class VCFtoHDF5Converter:
             GLOBAL_METRICS.log_summary("vcf_to_h5")
             return self.results
         finally:
-            if cleanup:
+            had_errors = any(r.error is not None for r in self.results)
+            if cleanup and not had_errors:
                 shutil.rmtree(self.tmp_dir, ignore_errors=True)
+            elif had_errors:
+                logger.warning(
+                    "temp shards kept in %s — rerun with resume=True to "
+                    "skip completed (donor, chromosome) tasks",
+                    self.tmp_dir,
+                )
 
 
 @click.command()
