@@ -289,3 +289,85 @@ class TestTensorContainers:
         chroms, spans, uniq = load_bed_regions(corpus["bed"])
         assert spans.shape == (12, 2)
         assert uniq == [corpus["chrom"]]
+
+
+class TestChromAxisAlignment:
+    def test_cohort_reordered_to_genome_axis(self):
+        """A cohort whose chrom axis is a superset in different order must be
+        re-indexed into the genome's chrom space (regression: mismatched
+        axes silently applied the wrong chromosome's variants)."""
+        from haplohyped_tpu.core.constants import SNP_STRUCT_DTYPE
+
+        rng = np.random.default_rng(5)
+        genomes = {
+            "chrA": rng.integers(0, 4, 5000).astype(np.int8),
+            "chrB": rng.integers(0, 4, 5000).astype(np.int8),
+        }
+        genome = GenomeTensors.from_code_arrays(genomes)
+
+        def table(seed):
+            r = np.random.default_rng(seed)
+            n = 50
+            t = np.zeros(n, dtype=SNP_STRUCT_DTYPE)
+            t["start"] = np.sort(r.choice(4900, n, replace=False))
+            t["stop"] = t["start"] + 1
+            t["ref"] = b"A"
+            t["alt"] = b"G"
+            t["phase1"] = 1
+            return t
+
+        tables = {
+            ("d0", "chrZ"): table(1),  # extra chrom, unknown to genome
+            ("d0", "chrB"): table(2),
+            ("d0", "chrA"): table(3),
+        }
+        cohort = CohortTensors.from_structs(
+            tables, ["d0"], ["chrZ", "chrB", "chrA"]  # different order + superset
+        )
+        from haplohyped_tpu.core.config import SamplerConfig
+        from haplohyped_tpu.data.sampler import DeviceHaplotypeSampler
+
+        spans = np.stack([(s := np.arange(0, 4000, 500)), s + 400], axis=1)
+        sampler = DeviceHaplotypeSampler(
+            genome, cohort, spans,
+            SamplerConfig(seq_length=256, batch_size=16, seed=0, max_variants_per_window=64),
+        )
+        # after alignment the sampler's cohort axis must equal the genome's
+        assert sampler.cohort.chrom_names == genome.chrom_names
+
+        import jax
+
+        batch = sampler.sample(jax.random.PRNGKey(1))
+        # verify against host encoding with the correctly matched tables
+        from haplohyped_tpu.data.haplotype_dataset import encode_haplotypes_host
+
+        folded = jax.random.fold_in(jax.random.PRNGKey(1), 0)
+        kr, kd, kc = jax.random.split(folded, 3)
+        B, L = 16, 256
+        region_idx = np.asarray(jax.random.randint(kr, (B,), 0, spans.shape[0]))
+        chrom_idx = np.asarray(jax.random.randint(kc, (B,), 0, 2))
+        for b in range(B):
+            s0, e0 = spans[region_idx[b]]
+            mid = (s0 + e0) // 2
+            start = min(max(0, mid - L // 2), 5000 - L)
+            name = genome.chrom_names[chrom_idx[b]]
+            t = tables[("d0", name)]
+            off = int(genome.offsets[chrom_idx[b]])
+            ref_codes = genome.codes_flat[off + start : off + start + L]
+            h1, _ = encode_haplotypes_host(ref_codes, t, start, start + L)
+            assert np.array_equal(np.asarray(batch.hap1_codes)[b], h1), b
+
+    def test_missing_chrom_raises(self):
+        genome = GenomeTensors.from_code_arrays({"chrA": np.zeros(1000, np.int8)})
+        from haplohyped_tpu.core.constants import SNP_STRUCT_DTYPE
+
+        cohort = CohortTensors.from_structs(
+            {("d0", "chrQ"): np.zeros(0, SNP_STRUCT_DTYPE)}, ["d0"], ["chrQ"]
+        )
+        from haplohyped_tpu.core.config import SamplerConfig
+        from haplohyped_tpu.data.sampler import DeviceHaplotypeSampler
+
+        with pytest.raises(ValueError, match="lacks chromosomes"):
+            DeviceHaplotypeSampler(
+                genome, cohort, np.array([[0, 100]]), SamplerConfig(seq_length=64, batch_size=2)
+            )

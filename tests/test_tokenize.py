@@ -173,3 +173,21 @@ class TestWideCohort:
             assert s.shape[0] == n_var
             assert np.array_equal(s["phase1"], gts[:, col, 0].astype(np.int8))
             assert np.array_equal(s["phase2"], gts[:, col, 1].astype(np.int8))
+
+
+class TestReferenceRepoData:
+    def test_reads_reference_shipped_corpus(self):
+        """The reference repo's own bundled VCF must parse identically
+        through our stack (cross-ecosystem file compatibility)."""
+        import os
+
+        path = "/root/reference/tests/data/chr22.filtered.vcf.gz"
+        if not os.path.exists(path):
+            pytest.skip("reference corpus not mounted")
+        src = VCFSource(path)
+        samples = src.samples()
+        assert len(samples) == 3
+        a = _struct_via_tokenizer(path, samples[0], "chr22")
+        b = _struct_via_frames(path, samples[0], "chr22")
+        assert a.shape[0] == 1000
+        assert np.array_equal(a, b)
