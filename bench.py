@@ -334,13 +334,50 @@ def bench_storage(n_records: int = 1_000_000) -> dict:
             os.unlink(path)
 
 
+#: partial results for the watchdog (filled as phases complete)
+_PARTIAL: dict = {}
+
+
+def _emit(result: dict) -> None:
+    print(json.dumps(result), flush=True)
+
+
+def _watchdog(budget_s: float) -> None:
+    """If the run stalls (wedged transfers), emit the JSON line from the
+    measurements completed so far and exit, so the driver always gets real
+    numbers rather than nothing."""
+    import threading
+
+    def fire():
+        if _PARTIAL.get("emitted"):
+            return
+        if "value" in _PARTIAL:
+            log(f"WATCHDOG: emitting partial results after {budget_s:.0f}s stall")
+            out = {
+                "metric": "variants/sec/chip (parse+encode)",
+                "value": _PARTIAL["value"],
+                "unit": "variants/sec",
+                "vs_baseline": round(_PARTIAL["value"] / BASELINE_VARIANTS_PER_SEC, 3),
+            }
+            _emit(out)
+        else:
+            log("WATCHDOG: no completed measurements; exiting without JSON")
+        os._exit(3)
+
+    t = threading.Timer(budget_s, fire)
+    t.daemon = True
+    t.start()
+
+
 def main() -> None:
     threads = os.cpu_count() or 1
     vcf, sample = ensure_corpus()
+    _watchdog(float(os.environ.get("HH_BENCH_BUDGET_S", 480)))
 
     healthy = d2h_healthy()
     n, e2e_s = bench_parse_encode(vcf, sample, threads, with_d2h=healthy)
     e2e_vps = n / e2e_s
+    _PARTIAL["value"] = round(e2e_vps)
 
     try:
         wps = bench_windows()
@@ -361,7 +398,8 @@ def main() -> None:
     }
     if wps is not None:
         result["windows_per_sec"] = round(wps)
-    print(json.dumps(result))
+    _PARTIAL["emitted"] = True
+    _emit(result)
 
 
 if __name__ == "__main__":
