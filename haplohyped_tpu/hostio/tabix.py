@@ -25,7 +25,20 @@ import struct
 from dataclasses import dataclass, field
 
 TBI_MAGIC = b"TBI\x01"
+CSI_MAGIC = b"CSI\x01"
 LINEAR_SHIFT = 14  # 16 kb linear-index bins
+
+
+def reg2bin_csi(beg: int, end: int, min_shift: int = 14, depth: int = 5) -> int:
+    """Generalized CSI binning (reg2bin with configurable geometry)."""
+    end -= 1
+    # walk levels from deepest to root
+    for level in range(depth, -1, -1):
+        shift = min_shift + 3 * (depth - level)
+        if beg >> shift == end >> shift:
+            base = ((1 << (3 * level)) - 1) // 7
+            return base + (beg >> shift)
+    return 0
 
 
 def reg2bin(beg: int, end: int) -> int:
@@ -130,11 +143,108 @@ class TabixIndex:
         return out
 
 
-def build_index(bgzf_vcf: str, out_path: str | None = None) -> str:
-    """Build a standard ``.tbi`` for a BGZF-compressed, position-sorted VCF."""
+@dataclass
+class CSIIndex:
+    """CSI (``.csi``) index reader — the variable-geometry successor of
+    ``.tbi`` (bcftools' default for long contigs).  Seek resolution uses
+    each bin's ``loffset`` (virtual offset of its first overlapping
+    record) in place of tabix's linear index."""
+
+    names: list[str]
+    min_shift: int
+    depth: int
+    #: per ref: {bin: (loffset, [(cb, ce), ...])}
+    refs: list[dict[int, tuple[int, list[tuple[int, int]]]]]
+
+    @classmethod
+    def load(cls, path: str) -> "CSIIndex":
+        with gzip.open(path, "rb") as f:
+            data = f.read()
+        if data[:4] != CSI_MAGIC:
+            raise ValueError(f"not a CSI index: {path}")
+        off = 4
+        min_shift, depth, l_aux = struct.unpack_from("<3i", data, off)
+        off += 12
+        names: list[str] = []
+        if l_aux >= 28:
+            # tabix-mode aux: 7 i32 params + nul-joined names
+            l_nm = struct.unpack_from("<i", data, off + 24)[0]
+            raw_names = data[off + 28 : off + 28 + l_nm]
+            names = [n.decode() for n in raw_names.split(b"\x00") if n]
+        off += l_aux
+        (n_ref,) = struct.unpack_from("<i", data, off)
+        off += 4
+        refs = []
+        for _ in range(n_ref):
+            (n_bin,) = struct.unpack_from("<i", data, off)
+            off += 4
+            bins: dict[int, tuple[int, list[tuple[int, int]]]] = {}
+            for _ in range(n_bin):
+                bin_no, loffset, n_chunk = struct.unpack_from("<IQi", data, off)
+                off += 16
+                chunks = []
+                for _ in range(n_chunk):
+                    cb, ce = struct.unpack_from("<QQ", data, off)
+                    off += 16
+                    chunks.append((cb, ce))
+                bins[bin_no] = (loffset, chunks)
+            refs.append(bins)
+        return cls(names=names, min_shift=min_shift, depth=depth, refs=refs)
+
+    def min_offset(self, chrom: str, beg: int) -> int | None:
+        if chrom not in self.names:
+            return None
+        bins = self.refs[self.names.index(chrom)]
+        if not bins:
+            return None
+        # deepest bin containing [beg, beg+1), walking up to ancestors
+        b = reg2bin_csi(beg, beg + 1, self.min_shift, self.depth)
+        while True:
+            if b in bins:
+                return bins[b][0]
+            if b == 0:
+                break
+            b = (b - 1) >> 3
+        # fall back to the smallest loffset of any bin past beg
+        offs = [v[0] for v in bins.values() if v[0] > 0]
+        return min(offs) if offs else None
+
+
+def write_csi(
+    names: list[str],
+    refs: list[RefIndex],
+    out_path: str,
+    min_shift: int = 14,
+    depth: int = 5,
+) -> str:
+    """Serialize (tbi-geometry) bins as a standard ``.csi`` file."""
+    payload = bytearray()
+    payload += CSI_MAGIC
+    nm = b"".join(n.encode() + b"\x00" for n in names)
+    aux = struct.pack("<7i", 2, 1, 2, 0, ord("#"), 0, len(nm)) + nm
+    payload += struct.pack("<3i", min_shift, depth, len(aux))
+    payload += aux
+    payload += struct.pack("<i", len(refs))
+    for ref in refs:
+        payload += struct.pack("<i", len(ref.bins))
+        for bin_no in sorted(ref.bins):
+            chunks = ref.bins[bin_no]
+            loffset = min(cb for cb, _ in chunks)
+            payload += struct.pack("<IQi", bin_no, loffset, len(chunks))
+            for cb, ce in chunks:
+                payload += struct.pack("<QQ", cb, ce)
+    with gzip.open(out_path, "wb") as f:
+        f.write(bytes(payload))
+    return out_path
+
+
+def build_index(bgzf_vcf: str, out_path: str | None = None, fmt: str = "tbi") -> str:
+    """Build a standard ``.tbi`` (or ``.csi``) for a BGZF, position-sorted VCF."""
     from haplohyped_tpu.hostio import native
 
-    out_path = out_path or bgzf_vcf + ".tbi"
+    if fmt not in ("tbi", "csi"):
+        raise ValueError("fmt must be 'tbi' or 'csi'")
+    out_path = out_path or bgzf_vcf + "." + fmt
     reader = native.BgzfRangeReader(bgzf_vcf)
     try:
         names: list[str] = []
@@ -212,6 +322,9 @@ def build_index(bgzf_vcf: str, out_path: str | None = None) -> str:
     finally:
         reader.close()
 
+    if fmt == "csi":
+        return write_csi(names, refs, out_path)
+
     # serialize
     payload = bytearray()
     payload += TBI_MAGIC
@@ -234,12 +347,17 @@ def build_index(bgzf_vcf: str, out_path: str | None = None) -> str:
 
 
 def region_virtual_offset(vcf_path: str, chrom: str, beg: int = 0) -> int | None:
-    """Seek voffset for a region query, if an index exists next to the VCF."""
+    """Seek voffset for a region query from a sibling ``.tbi`` or ``.csi``."""
     tbi = vcf_path + ".tbi"
-    if not os.path.exists(tbi):
-        return None
-    try:
-        idx = TabixIndex.load(tbi)
-    except Exception:
-        return None
-    return idx.min_offset(chrom, beg)
+    if os.path.exists(tbi):
+        try:
+            return TabixIndex.load(tbi).min_offset(chrom, beg)
+        except Exception:
+            pass
+    csi = vcf_path + ".csi"
+    if os.path.exists(csi):
+        try:
+            return CSIIndex.load(csi).min_offset(chrom, beg)
+        except Exception:
+            pass
+    return None

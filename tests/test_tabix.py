@@ -93,3 +93,44 @@ class TestIndexedStreaming:
         assert np.array_equal(got, expected)
         # the indexed scan should have decoded far fewer records
         assert dec_idx["start"].shape[0] < dec_full["start"].shape[0] / 2
+
+
+class TestCSI:
+    def test_csi_build_load_and_seek(self, multichrom_vcf):
+        import os
+
+        from haplohyped_tpu.hostio.tabix import CSIIndex, build_index
+
+        path, truth = multichrom_vcf
+        csi = build_index(path, fmt="csi")
+        assert csi.endswith(".csi") and os.path.exists(csi)
+        idx = CSIIndex.load(csi)
+        assert idx.names == ["chr1", "chr2", "chr3"]
+        assert idx.min_shift == 14 and idx.depth == 5
+        o1 = idx.min_offset("chr1", 0)
+        o3 = idx.min_offset("chr3", 0)
+        assert o1 is not None and o3 is not None and o3 > o1
+        # seek consistency with the .tbi linear index
+        from haplohyped_tpu.hostio.tabix import TabixIndex
+
+        tbi = build_index(path, fmt="tbi")
+        tidx = TabixIndex.load(tbi)
+        for chrom in idx.names:
+            for beg in (0, 1_000_000, 4_000_000):
+                co = idx.min_offset(chrom, beg)
+                to = tidx.min_offset(chrom, beg)
+                # CSI bin loffsets can be coarser (earlier) than the 16kb
+                # linear index but must never skip past it
+                assert co is not None and co <= to
+
+    def test_csi_used_when_tbi_absent(self, multichrom_vcf, tmp_path):
+        import shutil
+
+        from haplohyped_tpu.hostio.tabix import build_index, region_virtual_offset
+
+        path, _ = multichrom_vcf
+        vcf2 = str(tmp_path / "m.vcf.gz")
+        shutil.copy(path, vcf2)
+        build_index(vcf2, fmt="csi")
+        vo = region_virtual_offset(vcf2, "chr2", 1_000_000)
+        assert vo is not None and vo > 0
