@@ -140,3 +140,61 @@ def test_gzip_fallback_kwargs_shape():
 
     kw = cohort_compression_kwargs()
     assert "compression" in kw and "chunks" in kw
+
+
+@needs_blosc
+def test_chunk_bytes_match_cblosc_exactly():
+    """Byte-level artifact parity: the filter's on-disk chunk bytes must be
+    exactly what c-blosc produces for the pipeline's cd_values — i.e. what a
+    reference (hdf5plugin) installation would write for the same data."""
+    import ctypes
+
+    import h5py
+
+    from haplohyped_tpu.core.constants import SNP_STRUCT_DTYPE
+
+    rng = np.random.default_rng(7)
+    data = np.zeros(2000, dtype=SNP_STRUCT_DTYPE)
+    data["chrom"] = b"chr22"
+    data["start"] = np.sort(rng.integers(0, 1 << 26, 2000)).astype(np.uint32)
+    data["stop"] = data["start"] + 1
+    data["ref"] = b"A"
+    data["alt"] = b"G"
+    data["phase1"] = rng.integers(0, 2, 2000)
+
+    with tempfile.NamedTemporaryFile(suffix=".h5", delete=False) as f:
+        path = f.name
+    try:
+        with h5py.File(path, "w") as f:
+            f.create_dataset(
+                "snp_data",
+                data=data,
+                compression=BLOSC_FILTER_ID,
+                compression_opts=(2, 2, 0, 0, 5, 1, 2),
+                chunks=(500,),
+            )
+        with h5py.File(path, "r") as f:
+            dset = f["snp_data"]
+            filt, file_chunk = dset.id.read_direct_chunk((0,))
+            assert filt == 0  # chunk is stored filtered; mask 0 = applied
+
+        raw = data[:500].tobytes()
+        lib = ctypes.CDLL("libblosc.so.1")
+        lib.blosc_compress_ctx.restype = ctypes.c_int
+        out = ctypes.create_string_buffer(len(raw) + 16)
+        n = lib.blosc_compress_ctx(
+            ctypes.c_int(5),              # clevel (cd_values[4])
+            ctypes.c_int(1),              # byte shuffle (cd_values[5])
+            ctypes.c_size_t(SNP_STRUCT_DTYPE.itemsize),
+            ctypes.c_size_t(len(raw)),
+            raw,
+            out,
+            ctypes.c_size_t(len(raw) + 16),
+            b"lz4hc",                     # compcode 2
+            ctypes.c_size_t(0),
+            ctypes.c_int(1),
+        )
+        assert n > 0
+        assert bytes(file_chunk) == out.raw[:n]
+    finally:
+        os.unlink(path)
