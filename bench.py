@@ -65,27 +65,13 @@ def d2h_healthy(timeout_s: float = 30.0) -> bool:
 def bgzf_write(path: str, text: bytes, level: int = 1) -> None:
     """Write bytes as BGZF (64KB gzip blocks with BC extra field) so the
     native reader can decompress blocks in parallel — the real-world format
-    of bcftools-produced ``.vcf.gz`` cohort files."""
-    import struct
-    import zlib
+    of bcftools-produced ``.vcf.gz`` cohort files.  Thin alias over the
+    canonical writer in ``haplohyped_tpu.hostio.bgzf``."""
+    import os as _os
 
-    with open(path, "wb") as f:
-        for lo in range(0, len(text), 0xFF00):
-            chunk = text[lo : lo + 0xFF00]
-            co = zlib.compressobj(level, zlib.DEFLATED, -15)
-            comp = co.compress(chunk) + co.flush()
-            bsize = len(comp) + 25 + 1
-            header = (
-                b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff\x06\x00BC\x02\x00"
-                + struct.pack("<H", bsize - 1)
-            )
-            f.write(header + comp)
-            f.write(struct.pack("<II", zlib.crc32(chunk), len(chunk)))
-        # EOF marker block
-        f.write(
-            b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff\x06\x00BC\x02\x00\x1b\x00"
-            b"\x03\x00\x00\x00\x00\x00\x00\x00\x00\x00"
-        )
+    from haplohyped_tpu.hostio.bgzf import bgzf_write as _bw
+
+    _bw(path, text, level=level, threads=min(8, _os.cpu_count() or 1))
 
 
 def ensure_corpus() -> tuple[str, str]:

@@ -10,6 +10,10 @@ Run from the repo root:  python examples/02_device_sampler_training.py
 """
 
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import tempfile
 
 DATA = os.path.join(os.path.dirname(__file__), "..", "tests", "data")

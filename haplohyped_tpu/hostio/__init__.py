@@ -6,6 +6,8 @@ from haplohyped_tpu.hostio.frame_format import (
 from haplohyped_tpu.hostio.vcf import VCFSource
 from haplohyped_tpu.hostio.fasta import FastaReader
 from haplohyped_tpu.hostio.native import native_available
+from haplohyped_tpu.hostio.bgzf import BgzfWriter, bgzf_compress, bgzf_write
+from haplohyped_tpu.hostio.writer import BcfWriter, VcfHeader, VcfWriter
 
 __all__ = [
     "REC_SIZE",
@@ -14,4 +16,10 @@ __all__ = [
     "VCFSource",
     "FastaReader",
     "native_available",
+    "BgzfWriter",
+    "bgzf_compress",
+    "bgzf_write",
+    "BcfWriter",
+    "VcfHeader",
+    "VcfWriter",
 ]
