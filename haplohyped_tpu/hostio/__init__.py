@@ -8,6 +8,7 @@ from haplohyped_tpu.hostio.fasta import FastaReader
 from haplohyped_tpu.hostio.native import native_available
 from haplohyped_tpu.hostio.bgzf import BgzfWriter, bgzf_compress, bgzf_write
 from haplohyped_tpu.hostio.writer import BcfWriter, VcfHeader, VcfWriter
+from haplohyped_tpu.hostio.variants import VariantTable
 
 __all__ = [
     "REC_SIZE",
@@ -22,4 +23,5 @@ __all__ = [
     "BcfWriter",
     "VcfHeader",
     "VcfWriter",
+    "VariantTable",
 ]
