@@ -7,9 +7,13 @@ Prints ONE JSON line:
 
 Baseline: the reference's published single-core htslib parse throughput
 (559,390 variants/sec — reference README.md:118).  Here "parse+encode" is the
-full replacement path: multithreaded native framing (BGZF decode + record
-framing) -> host->device transfer -> jit decode kernel (field parse, SNP
-predicate, genotype/phase decode).
+full replacement path: multithreaded native framing (libdeflate BGZF decode +
+compact 12-byte record framing) -> host->device transfer -> jit decode kernel
+(integer parse, SNP predicate, genotype/phase decode).  Every timed iteration
+mutates one input byte so a caching execution relay cannot elide the device
+work; the headline is the better of the staged (host + device serialized) and
+pipelined (host framing overlapped with device decode, the converter's
+steady state across donorxchrom tasks) measurements.
 
 Runs on whatever accelerator JAX finds (real TPU under the driver; CPU
 elsewhere).  Details go to stderr; the JSON line is the last stdout line.
@@ -118,16 +122,121 @@ def ensure_corpus() -> tuple[str, str]:
 def bench_parse_encode(
     vcf: str, sample: str, threads: int, with_d2h: bool = True
 ) -> tuple[int, float]:
-    """On-device tokenizer path: host decompress+line-index -> upload ->
-    device tokenize/decode.  Returns (n_variants, best_e2e_seconds)."""
+    """Primary path: native compact framing -> upload -> jit decode kernel.
+
+    Measures (a) staged host+device and (b) pipelined steady state (host
+    framing of task k+1 overlapped with device decode of task k — the
+    converter's behavior across donorxchrom tasks).  Returns
+    (n_variants, best_e2e_seconds_per_task).
+    """
+    import queue
+    import threading
+
     import jax
-    import jax.numpy as jnp
+
+    from haplohyped_tpu.hostio import native
+    from haplohyped_tpu.hostio.frame_format import R12_GT_OFF
+    from haplohyped_tpu.ops.vcf_decode import decode_frames12
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+
+    # --- host stage: BGZF decode + compact framing (best of 3) --------
+    host_s = []
+    rec = chroms = None
+    for _ in range(3):
+        t0 = time.time()
+        rec, chroms, seen = native.vcf_frame12(vcf, sample, None, threads=threads)
+        host_s.append(time.time() - t0)
+    host_best = min(host_s)
+    n = rec.shape[0]
+    log(
+        f"host decompress+frame12: {[f'{t:.3f}' for t in host_s]}s "
+        f"(best {host_best:.3f}) for {n} records ({rec.nbytes / 1e6:.0f} MB), "
+        f"chroms={chroms}"
+    )
+
+    # --- compile ------------------------------------------------------
+    t0 = time.time()
+    out = decode_frames12(jax.device_put(rec, dev))
+    jax.block_until_ready(out)
+    log(f"upload+decode compile+first run: {time.time() - t0:.1f}s")
+
+    # --- upload + device decode (fresh, mutated buffers each iteration
+    # so a caching execution relay cannot elide the real work) ----------
+    dev_s = []
+    for i in range(4):
+        r = rec.copy()
+        r[i % n, R12_GT_OFF] ^= 1  # content differs every iteration
+        t0 = time.time()
+        out = decode_frames12(jax.device_put(r, dev))
+        jax.block_until_ready(out)
+        dev_s.append(time.time() - t0)
+    dev_best = min(dev_s)
+    snps = (
+        f"{int(np.asarray(out['snp_mask']).sum())} SNPs" if with_d2h else "d2h skipped"
+    )
+    log(
+        f"upload+decode: {[f'{t:.3f}' for t in dev_s]}s (best {dev_best:.3f}) "
+        f"= {n / dev_best:,.0f} variants/s ({snps})"
+    )
+
+    staged = host_best + dev_best
+    log(
+        f"staged parse+encode: {n} variants in {staged:.3f}s "
+        f"(host {host_best:.3f} + upload+device {dev_best:.3f}) "
+        f"= {n / staged:,.0f} variants/s"
+    )
+
+    # --- pipelined steady state: producer thread frames task k+1 while
+    # the device uploads+decodes task k -------------------------------
+    rounds = 3
+    q: queue.Queue = queue.Queue(maxsize=1)
+
+    def producer():
+        for k in range(rounds):
+            r_k, _, _ = native.vcf_frame12(vcf, sample, None, threads=threads)
+            r_k[k % n, R12_GT_OFF] ^= 1
+            q.put(r_k)
+        q.put(None)
+
+    t0 = time.time()
+    th = threading.Thread(target=producer, daemon=True)
+    th.start()
+    outs = []
+    while True:
+        r_k = q.get()
+        if r_k is None:
+            break
+        outs.append(decode_frames12(jax.device_put(r_k, dev)))
+    jax.block_until_ready(outs)
+    th.join()
+    pipe = (time.time() - t0) / rounds
+    log(
+        f"pipelined parse+encode ({rounds} tasks overlapped): "
+        f"{pipe:.3f}s/task = {n / pipe:,.0f} variants/s"
+    )
+
+    best = min(staged, pipe)
+    if os.environ.get("HH_BENCH_TOKENIZER"):
+        best = min(best, bench_tokenizer_path(vcf, sample, threads, with_d2h))
+    log(f"end-to-end parse+encode best: {n / best:,.0f} variants/s")
+    return n, best
+
+
+def bench_tokenizer_path(
+    vcf: str, sample: str, threads: int, with_d2h: bool = True
+) -> float:
+    """Secondary path (HH_BENCH_TOKENIZER=1): raw-text on-device tokenizer —
+    host does only decompress+newline-index, the accelerator does all tab
+    scanning.  Ships the whole text, so it is upload-bound on tunneled
+    devices.  Returns best e2e seconds."""
+    import jax
 
     from haplohyped_tpu.hostio import native
     from haplohyped_tpu.ops.vcf_tokenize import choose_window, tokenize_lines
 
     dev = jax.devices()[0]
-    log(f"device: {dev}")
 
     # --- host stage: decompress (threaded BGZF) + newline indexing ----
     host_s = []
@@ -164,8 +273,11 @@ def bench_parse_encode(
     log(f"upload+tokenize compile+first run: {time.time() - t0:.1f}s")
 
     dev_s = []
-    for _ in range(4):
-        text_in = text_padded.copy()  # fresh host buffer -> fresh device buffer
+    for i in range(2):
+        text_in = text_padded.copy()
+        # flip a padding byte (masked out of every window): outputs are
+        # unchanged but content differs -> a caching relay must re-execute
+        text_in[-1] ^= i + 1
         t0 = time.time()
         text_dev = jax.device_put(text_in, dev)
         offs_dev = jax.device_put(offs32.copy(), dev)
@@ -176,14 +288,14 @@ def bench_parse_encode(
     dev_best = min(dev_s)
     snps = f"{int(np.asarray(out['snp_mask']).sum())} SNPs" if with_d2h else "d2h skipped"
     log(
-        f"upload+tokenize: {[f'{t:.3f}' for t in dev_s]}s (best {dev_best:.3f}) "
-        f"= {n / dev_best:,.0f} variants/s ({snps})"
+        f"tokenizer upload+tokenize: {[f'{t:.3f}' for t in dev_s]}s "
+        f"(best {dev_best:.3f}) = {n / dev_best:,.0f} variants/s ({snps})"
     )
     vt.close()
 
     e2e = host_best + dev_best
     log(
-        f"staged parse+encode: {n} variants in {e2e:.3f}s "
+        f"tokenizer staged parse+encode: {n} variants in {e2e:.3f}s "
         f"(host {host_best:.3f} + upload+device {dev_best:.3f}) "
         f"= {n / e2e:,.0f} variants/s"
     )
@@ -199,13 +311,11 @@ def bench_parse_encode(
         stream_s = time.time() - t0
         assert int(dec["start"].shape[0]) == n
         log(
-            f"streaming parse+encode (bounded memory, incl. d2h): "
+            f"tokenizer streaming parse+encode (bounded memory, incl. d2h): "
             f"{stream_s:.3f}s = {n / stream_s:,.0f} variants/s"
         )
         best = min(best, stream_s)
-
-    log(f"end-to-end parse+encode best: {n / best:,.0f} variants/s")
-    return n, best
+    return best
 
 
 def bench_windows() -> float:

@@ -13,6 +13,10 @@
 
 #include <zlib.h>
 
+#ifdef HH_USE_LIBDEFLATE
+#include <libdeflate.h>
+#endif
+
 namespace hh {
 
 struct ErrBuf {
@@ -113,6 +117,28 @@ inline bool scan_bgzf_blocks(const std::vector<uint8_t> &d,
     return true;
 }
 
+#ifdef HH_USE_LIBDEFLATE
+/* libdeflate raw-deflate decode: ~2-3x faster than zlib inflate for the
+ * 64KB BGZF blocks that dominate host-side time.  One decompressor per
+ * thread (they are not thread-safe, but are reusable). */
+struct DeflateTL {
+    libdeflate_decompressor *d = nullptr;
+    DeflateTL() : d(libdeflate_alloc_decompressor()) {}
+    ~DeflateTL() {
+        if (d) libdeflate_free_decompressor(d);
+    }
+};
+
+inline bool inflate_raw_block(const uint8_t *src, size_t srclen, uint8_t *dst,
+                              size_t dstlen) {
+    static thread_local DeflateTL tl;
+    if (!tl.d) return false;
+    size_t actual = 0;
+    enum libdeflate_result r = libdeflate_deflate_decompress(
+        tl.d, src, srclen, dst, dstlen, &actual);
+    return r == LIBDEFLATE_SUCCESS && actual == dstlen;
+}
+#else
 inline bool inflate_raw_block(const uint8_t *src, size_t srclen, uint8_t *dst,
                               size_t dstlen) {
     z_stream s;
@@ -126,6 +152,7 @@ inline bool inflate_raw_block(const uint8_t *src, size_t srclen, uint8_t *dst,
     inflateEnd(&s);
     return ret == Z_STREAM_END && s.avail_out == 0;
 }
+#endif
 
 inline bool decompress_bgzf(const std::vector<uint8_t> &d, int threads,
                             std::vector<uint8_t> &out, std::string &err) {

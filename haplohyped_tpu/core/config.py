@@ -41,6 +41,11 @@ class ConvertConfig:
     resume: bool = False
     #: run the SNP-field decode on the accelerator (JAX) instead of numpy.
     device_decode: bool = True
+    #: route device decode through the raw-text on-device tokenizer
+    #: (ops/vcf_tokenize) instead of the compact-frame kernel.  The
+    #: tokenizer keeps ALL tab-scanning on the accelerator but ships the
+    #: whole VCF text; the default compact-frame path ships 12 bytes/record.
+    use_tokenizer: bool = False
 
     @property
     def tmp_dir(self) -> str:

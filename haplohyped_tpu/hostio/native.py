@@ -44,6 +44,18 @@ def _load() -> ctypes.CDLL | None:
                     ctypes.c_char_p,
                     ctypes.c_int,
                 ]
+                lib.hh_vcf_frame12.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.c_char_p,
+                    ctypes.c_char_p,
+                    ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_void_p),
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_void_p),
+                    ctypes.c_char_p,
+                    ctypes.c_int,
+                ]
                 lib.hh_vcf_text.argtypes = [
                     ctypes.c_char_p,
                     ctypes.c_int,
@@ -174,6 +186,50 @@ def vcf_frame(
         lib.hh_free(out)
     records = np.frombuffer(buf, dtype=np.uint8).reshape(-1, 64).copy()
     return records, int(seen.value)
+
+
+def vcf_frame12(
+    path: str, sample: str | None, region: str | None, threads: int = 1
+) -> tuple[np.ndarray, list[str], int]:
+    """Frame a VCF natively into compact 12-byte records.
+
+    Returns ((n, 12) uint8, chrom_table, total_lines_seen).  Raises
+    ``ValueError`` if the file has > 255 distinct chroms (callers fall back
+    to :func:`vcf_frame`, whose 64-byte layout stores chroms inline).
+    """
+    lib = _load()
+    assert lib is not None
+    out = ctypes.c_void_p()
+    n = ctypes.c_int64()
+    seen = ctypes.c_int64()
+    chroms_p = ctypes.c_void_p()
+    err = ctypes.create_string_buffer(512)
+    rc = lib.hh_vcf_frame12(
+        path.encode(),
+        sample.encode() if sample else None,
+        region.encode() if region else None,
+        threads,
+        ctypes.byref(out),
+        ctypes.byref(n),
+        ctypes.byref(seen),
+        ctypes.byref(chroms_p),
+        err,
+        512,
+    )
+    if rc == 3:
+        raise ValueError(err.value.decode())
+    if rc != 0:
+        raise RuntimeError(err.value.decode() or f"hh_vcf_frame12 failed ({rc})")
+    try:
+        nbytes = int(n.value) * 12
+        buf = ctypes.string_at(out, nbytes) if nbytes else b""
+        raw_chroms = ctypes.string_at(chroms_p)
+    finally:
+        lib.hh_free(out)
+        lib.hh_free(chroms_p)
+    records = np.frombuffer(buf, dtype=np.uint8).reshape(-1, 12).copy()
+    chroms = raw_chroms.decode().split("\n") if raw_chroms else []
+    return records, chroms, int(seen.value)
 
 
 class VCFText:

@@ -98,6 +98,26 @@ class VCFSource:
             return FramedRecords(records=records, total_seen=seen)
         return self._py_frame(sample, region)
 
+    def frame12(
+        self, sample: str | None = None, region: str | None = None
+    ) -> tuple[np.ndarray, list[str], int]:
+        """Frame data lines into compact (n, 12) records + a chrom table.
+
+        The SNP-pipeline fast path: 5.3x fewer bytes shipped to the device
+        than :meth:`frame` (pos digits, first REF/ALT byte + lengths, GT
+        bytes, chrom id).  Returns (records, chrom_table, total_seen).
+        Falls back to deriving from the 64-byte layout when the native shim
+        is unavailable, and raises ``ValueError`` for files with > 255
+        distinct chroms (route those through :meth:`frame`).
+        """
+        if self.use_native:
+            return native.vcf_frame12(self.path, sample, region, self.threads)
+        framed = self._py_frame(sample, region)
+        from haplohyped_tpu.hostio.frame_format import frames12_from_frames64
+
+        records, chroms = frames12_from_frames64(framed.records)
+        return records, chroms, framed.total_seen
+
     def _py_frame(self, sample: str | None, region: str | None) -> FramedRecords:
         text = _read_text(self.path)
         chrom_f, beg, end = _parse_region(region)

@@ -86,7 +86,8 @@ def _decode_kernel(frames_ref, start_ref, stop_ref, ref_char_ref, alt_char_ref,
         g2 = f[:, GT_OFF + 2]
         gt_len = f[:, GT_LEN_OFF]
         has_gt = (rec_flags & FLAG_HAS_GT) != 0
-        diploid = has_gt & (gt_len >= 3)
+        sep_ok = (g1 == ord("|")) | (g1 == ord("/"))
+        diploid = has_gt & (gt_len >= 3) & sep_ok
         missing = diploid & ((g0 == ord(".")) | (g2 == ord(".")))
         phase1 = jnp.where(missing, 1, (g0 != ord("0")).astype(jnp.int32))
         phase2 = jnp.where(missing, 0, (g2 != ord("0")).astype(jnp.int32))

@@ -36,9 +36,25 @@ from haplohyped_tpu.hostio.frame_format import (
     FLAGS_OFF,
     GT_LEN_OFF,
     GT_OFF,
+    FLAG12_DIPLOID_LEN,
+    FLAG12_HAS_GT,
+    FLAG12_SEP_PIPE,
+    FLAG12_SEP_SLASH,
+    FLAG12_WELL_FORMED,
+    GT_NIBBLE_MISSING,
     POS_CAP,
     POS_LEN_OFF,
     POS_OFF,
+    R12_ALT_LEN_OFF,
+    R12_ALT_OFF,
+    R12_CHROM_ID_OFF,
+    R12_FLAGS_OFF,
+    R12_GT_OFF,
+    R12_POS_BYTES,
+    R12_POS_NIBBLES,
+    R12_POS_OFF,
+    R12_REF_LEN_OFF,
+    R12_REF_OFF,
     REF_LEN_OFF,
     REF_OFF,
 )
@@ -111,7 +127,8 @@ def decode_frames(frames: jax.Array, with_sample: bool = True) -> DecodedVariant
         g2 = frames[:, GT_OFF + 2]
         gt_len = frames[:, GT_LEN_OFF].astype(jnp.int32)
         has_gt = (flags & FLAG_HAS_GT) != 0
-        diploid = has_gt & (gt_len >= 3)
+        sep_ok = (g1 == ord("|")) | (g1 == ord("/"))
+        diploid = has_gt & (gt_len >= 3) & sep_ok
         dot = jnp.uint8(ord("."))
         missing = diploid & ((g0 == dot) | (g2 == dot))
         zero = jnp.uint8(ord("0"))
@@ -143,6 +160,145 @@ def decode_frames(frames: jax.Array, with_sample: bool = True) -> DecodedVariant
         snp_mask=snp_mask,
         valid=valid,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("with_sample",))
+def decode_frames12(frames: jax.Array, with_sample: bool = True) -> dict[str, jax.Array]:
+    """Decode an ``(N, 12)`` compact frame matrix (pack_rec12 layout).
+
+    Same semantics as :func:`decode_frames`, returned as a dict with the
+    extra ``chrom_id`` column (index into the framer's chrom table).  The
+    compact layout ships 5.3x fewer bytes over the host->device link per
+    record — the preferred path for the SNP pipeline.  The POS integer
+    parse (BCD nibbles -> uint32 dot product), SNP predicate, and genotype
+    presence/missing/phase decode all run here on the accelerator.
+    """
+    frames = frames.astype(jnp.uint8)
+
+    # --- POS: 10 zero-padded BCD nibbles -> uint32 ---------------------
+    pos_bytes = frames[:, R12_POS_OFF : R12_POS_OFF + R12_POS_BYTES]
+    nib = jnp.stack([pos_bytes >> 4, pos_bytes & 0xF], axis=2).reshape(
+        frames.shape[0], R12_POS_NIBBLES
+    )
+    w = jnp.asarray(_POW10[:R12_POS_NIBBLES][::-1].copy())  # 10^9 ... 10^0
+    pos = jnp.sum(nib.astype(jnp.uint32) * w[None, :], axis=1, dtype=jnp.uint32)
+    start = pos - 1
+
+    ref_len = frames[:, R12_REF_LEN_OFF].astype(jnp.uint32)
+    alt_len = frames[:, R12_ALT_LEN_OFF].astype(jnp.uint32)
+    stop = start + ref_len
+    ref_char = frames[:, R12_REF_OFF]
+    alt_char = frames[:, R12_ALT_OFF]
+    lut = jnp.asarray(BASE_LUT)
+    is_acgt = (
+        (alt_char == ord("A"))
+        | (alt_char == ord("C"))
+        | (alt_char == ord("G"))
+        | (alt_char == ord("T"))
+    )
+    snp_mask = (ref_len == 1) & (alt_len == 1) & is_acgt
+
+    flags = frames[:, R12_FLAGS_OFF]
+    well_formed = (flags & FLAG12_WELL_FORMED) != 0
+
+    if with_sample:
+        gt = frames[:, R12_GT_OFF]
+        g0n = gt >> 4
+        g2n = gt & 0xF
+        has_gt = (flags & FLAG12_HAS_GT) != 0
+        sep_ok = (flags & (FLAG12_SEP_PIPE | FLAG12_SEP_SLASH)) != 0
+        diploid = has_gt & ((flags & FLAG12_DIPLOID_LEN) != 0) & sep_ok
+        miss_n = jnp.uint8(GT_NIBBLE_MISSING)
+        missing = diploid & ((g0n == miss_n) | (g2n == miss_n))
+        phase1 = jnp.where(missing, jnp.int8(1), (g0n != 0).astype(jnp.int8))
+        phase2 = jnp.where(missing, jnp.int8(0), (g2n != 0).astype(jnp.int8))
+        phased = diploid & ((flags & FLAG12_SEP_PIPE) != 0)
+        valid = well_formed & diploid
+    else:
+        n = frames.shape[0]
+        phase1 = jnp.zeros((n,), jnp.int8)
+        phase2 = jnp.zeros((n,), jnp.int8)
+        phased = jnp.zeros((n,), bool)
+        missing = jnp.zeros((n,), bool)
+        valid = well_formed
+
+    return {
+        "start": start,
+        "stop": stop,
+        "ref_char": ref_char,
+        "alt_char": alt_char,
+        "ref_code": lut[ref_char],
+        "alt_code": lut[alt_char],
+        "phase1": phase1,
+        "phase2": phase2,
+        "phased": phased,
+        "missing": missing,
+        "snp_mask": snp_mask,
+        "valid": valid,
+        "chrom_id": frames[:, R12_CHROM_ID_OFF],
+    }
+
+
+def decode_frames12_numpy(
+    frames: np.ndarray, with_sample: bool = True
+) -> dict[str, np.ndarray]:
+    """Pure-numpy twin of :func:`decode_frames12` (validation / no-device path)."""
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    n = frames.shape[0]
+
+    pos_bytes = frames[:, R12_POS_OFF : R12_POS_OFF + R12_POS_BYTES]
+    nib = np.stack([pos_bytes >> 4, pos_bytes & 0xF], axis=2).reshape(
+        n, R12_POS_NIBBLES
+    )
+    w = _POW10[:R12_POS_NIBBLES][::-1]
+    pos = np.sum(nib.astype(np.uint32) * w[None, :], axis=1, dtype=np.uint32)
+    start = pos - 1
+
+    ref_len = frames[:, R12_REF_LEN_OFF].astype(np.uint32)
+    alt_len = frames[:, R12_ALT_LEN_OFF].astype(np.uint32)
+    stop = start + ref_len
+    ref_char = frames[:, R12_REF_OFF]
+    alt_char = frames[:, R12_ALT_OFF]
+    is_acgt = np.isin(alt_char, np.frombuffer(b"ACGT", dtype=np.uint8))
+    snp_mask = (ref_len == 1) & (alt_len == 1) & is_acgt
+
+    flags = frames[:, R12_FLAGS_OFF]
+    well_formed = (flags & FLAG12_WELL_FORMED) != 0
+
+    if with_sample:
+        gt = frames[:, R12_GT_OFF]
+        g0n = gt >> 4
+        g2n = gt & 0xF
+        has_gt = (flags & FLAG12_HAS_GT) != 0
+        sep_ok = (flags & (FLAG12_SEP_PIPE | FLAG12_SEP_SLASH)) != 0
+        diploid = has_gt & ((flags & FLAG12_DIPLOID_LEN) != 0) & sep_ok
+        missing = diploid & ((g0n == GT_NIBBLE_MISSING) | (g2n == GT_NIBBLE_MISSING))
+        phase1 = np.where(missing, 1, g0n != 0).astype(np.int8)
+        phase2 = np.where(missing, 0, g2n != 0).astype(np.int8)
+        phased = diploid & ((flags & FLAG12_SEP_PIPE) != 0)
+        valid = well_formed & diploid
+    else:
+        phase1 = np.zeros(n, np.int8)
+        phase2 = np.zeros(n, np.int8)
+        phased = np.zeros(n, bool)
+        missing = np.zeros(n, bool)
+        valid = well_formed
+
+    return {
+        "start": start,
+        "stop": stop,
+        "ref_char": ref_char,
+        "alt_char": alt_char,
+        "ref_code": BASE_LUT[ref_char],
+        "alt_code": BASE_LUT[alt_char],
+        "phase1": phase1,
+        "phase2": phase2,
+        "phased": phased,
+        "missing": missing,
+        "snp_mask": snp_mask,
+        "valid": valid,
+        "chrom_id": frames[:, R12_CHROM_ID_OFF],
+    }
 
 
 def decoded_to_numpy(dec: DecodedVariants) -> dict[str, np.ndarray]:
@@ -180,7 +336,8 @@ def decode_frames_numpy(frames: np.ndarray, with_sample: bool = True) -> dict[st
         g0, g1, g2 = frames[:, GT_OFF], frames[:, GT_OFF + 1], frames[:, GT_OFF + 2]
         gt_len = frames[:, GT_LEN_OFF].astype(np.int32)
         has_gt = (flags & FLAG_HAS_GT) != 0
-        diploid = has_gt & (gt_len >= 3)
+        sep_ok = (g1 == ord("|")) | (g1 == ord("/"))
+        diploid = has_gt & (gt_len >= 3) & sep_ok
         missing = diploid & ((g0 == ord(".")) | (g2 == ord(".")))
         phase1 = np.where(missing, 1, (g0 != ord("0"))).astype(np.int8)
         phase2 = np.where(missing, 0, (g2 != ord("0"))).astype(np.int8)

@@ -63,3 +63,38 @@ def snp_struct_from_frames(
     """Framed-record variant: chrom columns come from the frame matrix."""
     chrom_bytes = frames[:, CHROM_OFF : CHROM_OFF + CHROM_CAP]
     return snp_struct_from_decoded(decoded, chrom_bytes, with_sample)
+
+
+def snp_struct_from_frames12(
+    decoded: dict[str, np.ndarray],
+    chrom_table: list[str],
+    with_sample: bool = True,
+    chrom_filter: str | None = None,
+) -> np.ndarray:
+    """Compact-frame variant: chrom strings come from the framer's table,
+    indexed by the decode output's ``chrom_id`` column."""
+    keep = np.asarray(decoded["valid"]) & np.asarray(decoded["snp_mask"])
+    chrom_id = np.asarray(decoded["chrom_id"])
+    if chrom_filter is not None and chrom_table:
+        want = np.array([c == chrom_filter for c in chrom_table], dtype=bool)
+        keep &= want[chrom_id]
+    idx = np.nonzero(keep)[0]
+    out = np.empty(idx.shape[0], dtype=SNP_STRUCT_DTYPE)
+    # reference casts chrom to S5, silently truncating longer names
+    table_s5 = np.array(chrom_table if chrom_table else [""], dtype="S5")
+    out["chrom"] = table_s5[chrom_id[idx]] if chrom_table else b""
+    out["start"] = np.asarray(decoded["start"])[idx]
+    out["stop"] = np.asarray(decoded["stop"])[idx]
+    out["ref"] = (
+        np.ascontiguousarray(np.asarray(decoded["ref_char"])[idx]).view("S1").astype("S10")
+    )
+    out["alt"] = (
+        np.ascontiguousarray(np.asarray(decoded["alt_char"])[idx]).view("S1").astype("S10")
+    )
+    if with_sample:
+        out["phase1"] = np.asarray(decoded["phase1"])[idx]
+        out["phase2"] = np.asarray(decoded["phase2"])[idx]
+    else:
+        out["phase1"] = 0
+        out["phase2"] = 0
+    return out

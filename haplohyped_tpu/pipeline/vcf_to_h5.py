@@ -37,6 +37,7 @@ from haplohyped_tpu.hostio.vcf import VCFSource
 from haplohyped_tpu.pipeline.records import (
     snp_struct_from_decoded,
     snp_struct_from_frames,
+    snp_struct_from_frames12,
 )
 from haplohyped_tpu.core.metrics import GLOBAL_METRICS
 from haplohyped_tpu.storage.blosc import cohort_compression_kwargs, set_blosc_nthreads
@@ -105,6 +106,22 @@ class TaskResult:
     seconds: float = 0.0
     skipped: bool = False
     error: Exception | None = None
+
+
+def _decode12(frames12: np.ndarray) -> dict[str, np.ndarray]:
+    """Device decode of compact frames -> host columns."""
+    import jax
+
+    from haplohyped_tpu.ops.vcf_decode import decode_frames12
+
+    dec = decode_frames12(jax.numpy.asarray(frames12))
+    return {k: np.asarray(v) for k, v in jax.device_get(dec).items()}
+
+
+def _decode12_host(frames12: np.ndarray) -> dict[str, np.ndarray]:
+    from haplohyped_tpu.ops.vcf_decode import decode_frames12_numpy
+
+    return decode_frames12_numpy(frames12)
 
 
 def _decode(frames: np.ndarray, device: bool) -> dict[str, np.ndarray]:
@@ -244,8 +261,34 @@ class VCFtoHDF5Converter:
             struct = snp_struct_from_decoded(decoded, decoded["chrom"], chrom_filter=chrom_str)
             return struct, int(decoded["start"].shape[0])
 
+        if self.config.device_decode and _device_transfer_healthy():
+            # Preferred path: compact 12-byte frames (5.3x fewer bytes to the
+            # device than the 64-byte layout) -> jit decode kernel.
+            try:
+                src = VCFSource(data_path, threads=self.cxx_threads)
+                rec24, chrom_table, seen = src.frame12(
+                    sample=donor_id, region=chrom_str
+                )
+                if rec24.shape[0] == 0:
+                    return (
+                        snp_struct_from_frames12(
+                            _decode12_host(rec24), chrom_table
+                        ),
+                        seen,
+                    )
+                with _device_lock:
+                    decoded = _decode12(rec24)
+                return snp_struct_from_frames12(decoded, chrom_table), seen
+            except ValueError:
+                logger.info(
+                    "compact framer refused %s (>255 chroms); using the "
+                    "64-byte layout",
+                    data_path,
+                )
+
         if (
             self.config.device_decode
+            and self.config.use_tokenizer
             and native.native_available()
             and _device_transfer_healthy()
         ):
