@@ -362,17 +362,20 @@ def bench_windows() -> float:
         spans,
         SamplerConfig(seq_length=L, batch_size=B, seed=0, max_variants_per_window=64),
     )
-    iters = 20
-    keys = list(jax.random.split(jax.random.PRNGKey(0), iters + 1))
-    jax.block_until_ready(keys)
-    b = sampler.sample(keys[-1])
+    # fused multi-batch dispatch (lax.scan): pays dispatch latency once per
+    # n_batches — the per-execution RPC overhead dominates on tunneled TPUs
+    n_batches, iters = 16, 3
+    b = sampler.sample_many(n_batches)  # compile
     jax.block_until_ready(b.hap1)
     t0 = time.time()
-    outs = [sampler.sample(keys[i]) for i in range(iters)]
+    outs = [sampler.sample_many(n_batches) for _ in range(iters)]
     jax.block_until_ready([o.hap1 for o in outs])
-    dt = (time.time() - t0) / iters
+    dt = (time.time() - t0) / (iters * n_batches)
     wps = B / dt
-    log(f"sampler: {B} windows/batch in {dt * 1e3:.2f} ms = {wps:,.0f} windows/s")
+    log(
+        f"sampler (fused x{n_batches}): {B} windows/batch in "
+        f"{dt * 1e3:.2f} ms/batch = {wps:,.0f} windows/s"
+    )
     return wps
 
 

@@ -109,6 +109,67 @@ def _sample_batch(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "K", "B", "num_channels", "onehot_dtype", "n_batches"),
+)
+def _sample_batches(
+    base_key,
+    step0,
+    genome_flat,
+    chrom_offsets,
+    chrom_lengths,
+    region_spans,
+    var_pos,
+    var_ref,
+    var_alt,
+    var_p1,
+    var_p2,
+    var_counts,
+    *,
+    L: int,
+    K: int,
+    B: int,
+    num_channels: int,
+    onehot_dtype,
+    n_batches: int,
+) -> HaplotypeBatch:
+    """``n_batches`` sampling steps fused into ONE dispatch via lax.scan.
+
+    Identical per-step streams to :func:`_sample_batch` (each step folds
+    ``step0 + i`` into the base key), so ``sample_many(n)`` is bit-equal to
+    ``n`` successive ``sample()`` calls.  Amortizes per-execution dispatch
+    latency — the dominant cost on remote/tunneled devices — and feeds
+    scan-based training loops without host round-trips.  Leaves come back
+    stacked ``(n_batches, ...)``.
+    """
+
+    def body(carry, i):
+        out = _sample_batch(
+            base_key,
+            step0 + i,
+            genome_flat,
+            chrom_offsets,
+            chrom_lengths,
+            region_spans,
+            var_pos,
+            var_ref,
+            var_alt,
+            var_p1,
+            var_p2,
+            var_counts,
+            L=L,
+            K=K,
+            B=B,
+            num_channels=num_channels,
+            onehot_dtype=onehot_dtype,
+        )
+        return carry, out
+
+    _, outs = jax.lax.scan(body, 0, jnp.arange(n_batches, dtype=jnp.int32))
+    return outs
+
+
 class DeviceHaplotypeSampler:
     """Stateful convenience wrapper around the jit sampling kernel."""
 
@@ -204,6 +265,38 @@ class DeviceHaplotypeSampler:
             B=self.config.batch_size,
             num_channels=self.num_channels,
             onehot_dtype=self.onehot_dtype,
+        )
+
+    def sample_many(self, n_batches: int, key: jax.Array | None = None) -> HaplotypeBatch:
+        """Draw ``n_batches`` batches in ONE device dispatch (leaves stacked
+        ``(n_batches, ...)``) — bit-equal to ``n_batches`` successive
+        :meth:`sample` calls, but paying dispatch latency once."""
+        if key is None:
+            base, step = self._base_key, self._step
+            self._step += n_batches
+        else:
+            base, step = key, 0
+        flat, offsets, lengths = self._genome_dev
+        pos, ref, alt, p1, p2, counts = self._cohort_dev
+        return _sample_batches(
+            base,
+            jnp.int32(step),
+            flat,
+            offsets,
+            lengths,
+            self._regions_dev,
+            pos,
+            ref,
+            alt,
+            p1,
+            p2,
+            counts,
+            L=self.config.seq_length,
+            K=self.config.max_variants_per_window,
+            B=self.config.batch_size,
+            num_channels=self.num_channels,
+            onehot_dtype=self.onehot_dtype,
+            n_batches=n_batches,
         )
 
     def __iter__(self):

@@ -197,6 +197,36 @@ class TestDeviceSampler:
         b2 = sampler.sample(k)
         assert np.array_equal(np.asarray(b1.hap1_codes), np.asarray(b2.hap1_codes))
 
+    def test_sample_many_matches_sequential(self, corpus, artifacts):
+        """sample_many(n) (one fused dispatch) is bit-equal to n successive
+        sample() calls from the same seed/step state."""
+        cfg = SamplerConfig(
+            seq_length=256, batch_size=4, seed=7, max_variants_per_window=32
+        )
+        mk = lambda: DeviceHaplotypeSampler.from_files(
+            bed_file=corpus["bed"],
+            cohort_h5=artifacts["cohort"],
+            reference_h5=artifacts["reference"],
+            samples_file=corpus["samples_file"],
+            config=cfg,
+        )
+        s_seq, s_fused = mk(), mk()
+        seq = [s_seq.sample() for _ in range(4)]
+        fused = s_fused.sample_many(4)
+        assert fused.hap1.shape == (4, 4, 256, 5)
+        for i, b in enumerate(seq):
+            np.testing.assert_array_equal(
+                np.asarray(fused.hap1_codes[i]), np.asarray(b.hap1_codes)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(fused.hap2_codes[i]), np.asarray(b.hap2_codes)
+            )
+        # step state advanced by n: the next draws also agree
+        np.testing.assert_array_equal(
+            np.asarray(s_fused.sample().hap1_codes),
+            np.asarray(s_seq.sample().hap1_codes),
+        )
+
     def test_device_matches_host_encoder(self, corpus, artifacts, sampler):
         """For each sampled window, re-encode on host and compare."""
         import jax
