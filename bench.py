@@ -165,7 +165,7 @@ def bench_parse_encode(
     # --- upload + device decode (fresh, mutated buffers each iteration
     # so a caching execution relay cannot elide the real work) ----------
     dev_s = []
-    for i in range(4):
+    for i in range(6):
         r = rec.copy()
         r[i % n, R12_GT_OFF] ^= 1  # content differs every iteration
         t0 = time.time()
@@ -190,7 +190,7 @@ def bench_parse_encode(
 
     # --- pipelined steady state: producer thread frames task k+1 while
     # the device uploads+decodes task k -------------------------------
-    rounds = 3
+    rounds = 4
     q: queue.Queue = queue.Queue(maxsize=1)
 
     def producer():

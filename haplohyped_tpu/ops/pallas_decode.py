@@ -131,6 +131,160 @@ def _pallas_decode_call(frames, with_sample: bool, interpret: bool = False):
     )(frames)
 
 
+def _decode12_kernel(
+    frames_ref,
+    start_ref,
+    stop_ref,
+    ref_char_ref,
+    alt_char_ref,
+    phase1_ref,
+    phase2_ref,
+    chrom_id_ref,
+    flags_ref,
+    *,
+    with_sample: bool,
+):
+    from haplohyped_tpu.hostio.frame_format import (
+        FLAG12_DIPLOID_LEN,
+        FLAG12_HAS_GT,
+        FLAG12_SEP_PIPE,
+        FLAG12_SEP_SLASH,
+        FLAG12_WELL_FORMED,
+        GT_NIBBLE_MISSING,
+        R12_ALT_LEN_OFF,
+        R12_ALT_OFF,
+        R12_CHROM_ID_OFF,
+        R12_FLAGS_OFF,
+        R12_GT_OFF,
+        R12_POS_BYTES,
+        R12_POS_OFF,
+        R12_REF_LEN_OFF,
+        R12_REF_OFF,
+    )
+
+    f = frames_ref[...].astype(jnp.int32)  # (B, 12)
+
+    # POS: 10 zero-padded BCD nibbles, MSD first; static unrolled dot
+    pos = jnp.zeros_like(f[:, 0])
+    for b in range(R12_POS_BYTES):
+        byte = f[:, R12_POS_OFF + b]
+        hi_exp = 9 - 2 * b
+        lo_exp = 8 - 2 * b
+        pos = pos + (byte >> 4) * jnp.int32(10**hi_exp)
+        pos = pos + (byte & 0xF) * jnp.int32(10**lo_exp)
+    start = pos - 1
+
+    ref_len = f[:, R12_REF_LEN_OFF]
+    alt_len = f[:, R12_ALT_LEN_OFF]
+    stop = start + ref_len
+    ref_char = f[:, R12_REF_OFF]
+    alt_char = f[:, R12_ALT_OFF]
+    is_acgt = (
+        (alt_char == ord("A"))
+        | (alt_char == ord("C"))
+        | (alt_char == ord("G"))
+        | (alt_char == ord("T"))
+    )
+    snp = (ref_len == 1) & (alt_len == 1) & is_acgt
+
+    rec_flags = f[:, R12_FLAGS_OFF]
+    well_formed = (rec_flags & FLAG12_WELL_FORMED) != 0
+
+    if with_sample:
+        gt = f[:, R12_GT_OFF]
+        g0n = gt >> 4
+        g2n = gt & 0xF
+        has_gt = (rec_flags & FLAG12_HAS_GT) != 0
+        sep_ok = (rec_flags & (FLAG12_SEP_PIPE | FLAG12_SEP_SLASH)) != 0
+        diploid = has_gt & ((rec_flags & FLAG12_DIPLOID_LEN) != 0) & sep_ok
+        missing = diploid & ((g0n == GT_NIBBLE_MISSING) | (g2n == GT_NIBBLE_MISSING))
+        phase1 = jnp.where(missing, 1, (g0n != 0).astype(jnp.int32))
+        phase2 = jnp.where(missing, 0, (g2n != 0).astype(jnp.int32))
+        phased = diploid & ((rec_flags & FLAG12_SEP_PIPE) != 0)
+        valid = well_formed & diploid
+    else:
+        zero = jnp.zeros_like(start)
+        phase1 = phase2 = zero
+        phased = zero != 0
+        missing = zero != 0
+        valid = well_formed
+
+    start_ref[...] = start
+    stop_ref[...] = stop
+    ref_char_ref[...] = ref_char
+    alt_char_ref[...] = alt_char
+    phase1_ref[...] = phase1
+    phase2_ref[...] = phase2
+    chrom_id_ref[...] = f[:, R12_CHROM_ID_OFF]
+    flags_ref[...] = (
+        snp.astype(jnp.int32)
+        | (valid.astype(jnp.int32) << 1)
+        | (missing.astype(jnp.int32) << 2)
+        | (phased.astype(jnp.int32) << 3)
+    )
+
+
+#: records per grid step for the 12-byte kernel — smaller than B_REC because
+#: the 12-wide uint8 block pads to full 128-lane tiles in VMEM and the
+#: 8 int32 output vectors ride the same scoped-vmem budget
+B12_REC = 1024
+
+
+@functools.partial(jax.jit, static_argnames=("with_sample", "interpret"))
+def _pallas_decode12_call(frames, with_sample: bool, interpret: bool = False):
+    N = frames.shape[0]
+    G = N // B12_REC
+    vec = lambda: pl.BlockSpec((B12_REC,), lambda g: (g,))
+    out_shape = [jax.ShapeDtypeStruct((N,), jnp.int32) for _ in range(8)]
+    kernel = functools.partial(_decode12_kernel, with_sample=with_sample)
+    return pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[pl.BlockSpec((B12_REC, 12), lambda g: (g, 0))],
+        out_specs=[vec() for _ in range(8)],
+        out_shape=out_shape,
+        interpret=interpret,
+    )(frames)
+
+
+def decode_frames12_pallas(
+    frames: np.ndarray, with_sample: bool = True, interpret: bool = False
+) -> dict[str, np.ndarray]:
+    """Decode (N, 12) compact frames with the Pallas kernel.
+
+    Same output schema as
+    :func:`haplohyped_tpu.ops.vcf_decode.decode_frames12_numpy`.
+    ``interpret=True`` runs in the Pallas interpreter (CPU CI).
+    """
+    from haplohyped_tpu.core.constants import BASE_LUT
+
+    n = frames.shape[0]
+    n_pad = max(-(-n // B12_REC) * B12_REC, B12_REC)
+    fp = np.zeros((n_pad, 12), np.uint8)
+    fp[:n] = frames
+    out = _pallas_decode12_call(jnp.asarray(fp), with_sample, interpret)
+    start, stop, ref_char, alt_char, p1, p2, chrom_id, flags = (
+        np.asarray(x)[:n] for x in jax.device_get(out)
+    )
+    ref_char = ref_char.astype(np.uint8)
+    alt_char = alt_char.astype(np.uint8)
+    return {
+        "start": start.astype(np.uint32),
+        "stop": stop.astype(np.uint32),
+        "ref_char": ref_char,
+        "alt_char": alt_char,
+        "ref_code": BASE_LUT[ref_char],
+        "alt_code": BASE_LUT[alt_char],
+        "phase1": p1.astype(np.int8),
+        "phase2": p2.astype(np.int8),
+        "phased": (flags & 8) != 0,
+        "missing": (flags & 4) != 0,
+        "snp_mask": (flags & 1) != 0,
+        "valid": (flags & 2) != 0,
+        "chrom_id": chrom_id.astype(np.uint8),
+    }
+
+
 def decode_frames_pallas(
     frames: np.ndarray, with_sample: bool = True, interpret: bool = False
 ) -> dict[str, np.ndarray]:

@@ -49,3 +49,30 @@ def test_edge_cases(test_data_dir):
     ref = decode_frames_numpy(frames)
     for k in COLUMNS:
         assert np.array_equal(out[k], np.asarray(ref[k]).astype(out[k].dtype)), k
+
+
+class TestPallas12:
+    """Compact 12-byte frame kernel vs the numpy twin."""
+
+    def test_matches_numpy_on_corpus(self, test_data_dir):
+        from haplohyped_tpu.ops.pallas_decode import decode_frames12_pallas
+        from haplohyped_tpu.ops.vcf_decode import decode_frames12_numpy
+
+        vcf = str(test_data_dir / "chr22.filtered.vcf.gz")
+        sample = corpus_samples(test_data_dir)[0]
+        rec12, chroms, _ = VCFSource(vcf).frame12(sample=sample, region="chr22")
+        out = decode_frames12_pallas(rec12, interpret=True)
+        ref = decode_frames12_numpy(rec12)
+        for k in COLUMNS + ("chrom_id",):
+            assert np.array_equal(out[k], np.asarray(ref[k]).astype(out[k].dtype)), k
+
+    def test_no_sample_mode(self, test_data_dir):
+        from haplohyped_tpu.ops.pallas_decode import decode_frames12_pallas
+        from haplohyped_tpu.ops.vcf_decode import decode_frames12_numpy
+
+        vcf = str(test_data_dir / "chr22.filtered.vcf.gz")
+        rec12, _, _ = VCFSource(vcf).frame12(region="chr22")
+        out = decode_frames12_pallas(rec12, with_sample=False, interpret=True)
+        ref = decode_frames12_numpy(rec12, with_sample=False)
+        for k in ("start", "stop", "snp_mask", "valid", "chrom_id"):
+            assert np.array_equal(out[k], np.asarray(ref[k]).astype(out[k].dtype)), k
