@@ -23,6 +23,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     import jax
+
+    # This image's sitecustomize pre-imports jax pinned to one tunneled TPU
+    # chip; the scaling sweep needs a multi-device mesh, so claim the
+    # 8-device virtual CPU platform while backends are still uninitialized.
+    # Set HH_SCALING_PLATFORM=native to measure on real attached devices.
+    if os.environ.get("HH_SCALING_PLATFORM", "cpu") == "cpu":
+        try:
+            from jax._src import xla_bridge as _xb
+
+            if not getattr(_xb, "_backends", None):
+                flags = os.environ.get("XLA_FLAGS", "")
+                if "host_platform_device_count" not in flags:
+                    os.environ["XLA_FLAGS"] = (
+                        flags + " --xla_force_host_platform_device_count=8"
+                    ).strip()
+                jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
     import numpy as np
 
     from haplohyped_tpu.core.config import MeshConfig
@@ -61,6 +80,13 @@ def main() -> None:
     for s in shards[1:]:
         eff = results[s] / (base_tp * s) * 100
         print(f"scaling efficiency at {s} shards: {eff:.0f}%")
+    phys = os.cpu_count() or 1
+    if jax.devices()[0].platform == "cpu" and len(shards) > 1 and shards[-1] > phys:
+        print(
+            f"(note: host has {phys} physical cores — virtual CPU shards beyond "
+            f"that saturate compute; efficiency above {phys} shards is not "
+            "meaningful on this methodology rig, ICI scaling needs real chips)"
+        )
 
     # merge-collective cost at max shard count
     mesh = make_mesh(MeshConfig(data=shards[-1], model=1))
