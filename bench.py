@@ -39,31 +39,46 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def d2h_healthy(timeout_s: float = 30.0) -> bool:
-    """Probe device->host transfer on a daemon thread (relayed TPUs can
-    wedge on d2h while executing fine; a hung probe must not hang bench)."""
+def device_health(timeout_s: float = 30.0, retries: int = 3) -> tuple[bool, bool]:
+    """Probe device execute and device->host transfer on a daemon thread
+    (relayed TPUs can wedge on either; a hung probe must not hang bench).
+
+    Returns ``(exec_ok, d2h_ok)``.  A device that cannot even execute is
+    useless for this bench — the caller should fall back to the CPU
+    platform.  A device that executes but wedges on d2h can still run the
+    block_until_ready-only stages (``with_d2h=False``)."""
     import threading
 
-    result = []
+    for attempt in range(retries):
+        state = {"exec": False, "d2h": False}
 
-    def probe():
-        try:
-            import jax
-            import jax.numpy as jnp
+        def probe():
+            try:
+                import jax
+                import jax.numpy as jnp
 
-            x = jnp.arange(16) * 2
-            jax.block_until_ready(x)
-            result.append(int(np.asarray(jax.device_get(x))[1]) == 2)
-        except Exception:
-            result.append(False)
+                x = jnp.arange(16) * 2
+                jax.block_until_ready(x)
+                state["exec"] = True
+                state["d2h"] = int(np.asarray(jax.device_get(x))[1]) == 2
+            except Exception as exc:
+                log(f"device probe exception: {exc}")
 
-    th = threading.Thread(target=probe, daemon=True)
-    th.start()
-    th.join(timeout=timeout_s)
-    ok = bool(result and result[0]) and not th.is_alive()
-    if not ok:
+        th = threading.Thread(target=probe, daemon=True)
+        th.start()
+        th.join(timeout=timeout_s)
+        if state["exec"] and state["d2h"]:
+            return True, True
+        log(
+            f"device probe attempt {attempt + 1}/{retries}: "
+            f"exec={state['exec']} d2h={state['d2h']}"
+        )
+        time.sleep(5)
+    if not state["exec"]:
+        log("WARNING: device cannot execute; caller should fall back to CPU")
+    elif not state["d2h"]:
         log("WARNING: device->host transfer unhealthy; skipping d2h-dependent stages")
-    return ok
+    return state["exec"], state["d2h"]
 
 
 def bgzf_write(path: str, text: bytes, level: int = 1) -> None:
@@ -364,7 +379,12 @@ def bench_windows() -> float:
     )
     # fused multi-batch dispatch (lax.scan): pays dispatch latency once per
     # n_batches — the per-execution RPC overhead dominates on tunneled TPUs
-    n_batches, iters = 16, 3
+    # (~80ms/dispatch observed), so fuse much deeper on accelerators where
+    # per-batch compute is tiny; keep it small on CPU where compute dominates
+    if jax.devices()[0].platform == "cpu":
+        n_batches, iters = 16, 3
+    else:
+        n_batches, iters = 256, 2
     b = sampler.sample_many(n_batches)  # compile
     jax.block_until_ready(b.hap1)
     t0 = time.time()
@@ -468,13 +488,101 @@ def _watchdog(budget_s: float) -> None:
     t.start()
 
 
+def bench_host_only(vcf: str, sample: str, threads: int) -> dict:
+    """Last-resort measurement that touches no accelerator: native compact
+    framing + the numpy reference decode.  A complete, honest parse+encode
+    (same outputs as the device kernel), just on the host CPU."""
+    from haplohyped_tpu.hostio import native
+    from haplohyped_tpu.ops.vcf_decode import decode_frames12_numpy
+
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        rec, chroms, _ = native.vcf_frame12(vcf, sample, None, threads=threads)
+        dec = decode_frames12_numpy(rec, chroms)
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    n = rec.shape[0]
+    vps = n / best
+    log(
+        f"host-only parse+encode (frame12 + numpy decode): {n} variants in "
+        f"{best:.3f}s = {vps:,.0f} variants/s ({int(dec['snp_mask'].sum())} SNPs)"
+    )
+    return {
+        "metric": "variants/sec/chip (parse+encode)",
+        "value": round(vps),
+        "unit": "variants/sec",
+        "vs_baseline": round(vps / BASELINE_VARIANTS_PER_SEC, 3),
+        "note": "host-only fallback (accelerator unreachable)",
+    }
+
+
+def _run_worker(env_extra: dict, timeout_s: float) -> dict | None:
+    """Run the measurement worker in a subprocess; return its JSON result
+    or None on timeout/crash/no-JSON.  The subprocess boundary is the only
+    reliable guard against wedged device runtimes hanging this process."""
+    import subprocess
+
+    env = dict(os.environ)
+    env["HH_BENCH_WORKER"] = "1"
+    env.update(env_extra)
+    tag = env_extra.get("JAX_PLATFORMS", "default-platform")
+    log(f"--- launching bench worker ({tag}, timeout {timeout_s:.0f}s) ---")
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=sys.stderr,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        log(f"worker ({tag}) timed out after {timeout_s:.0f}s")
+        return None
+    for line in reversed(proc.stdout.decode(errors="replace").splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    log(f"worker ({tag}) exited rc={proc.returncode} without a JSON line")
+    return None
+
+
+def orchestrate() -> None:
+    """Always emits exactly one JSON line: try the real accelerator in a
+    killable subprocess, then the CPU platform, then a host-only inline
+    measurement (no accelerator involved)."""
+    threads = os.cpu_count() or 1
+    vcf, sample = ensure_corpus()
+    budget = float(os.environ.get("HH_BENCH_BUDGET_S", 480))
+
+    result = _run_worker({}, timeout_s=budget * 0.7)
+    if result is None and os.environ.get("JAX_PLATFORMS", "") != "cpu":
+        result = _run_worker(
+            {"JAX_PLATFORMS": "cpu", "HH_BENCH_VARIANTS": str(N_VARIANTS)},
+            timeout_s=budget * 0.25,
+        )
+        if result is not None:
+            result["note"] = "cpu-platform fallback (accelerator unreachable)"
+    if result is None:
+        result = bench_host_only(vcf, sample, threads)
+    _emit(result)
+
+
 def main() -> None:
     threads = os.cpu_count() or 1
     vcf, sample = ensure_corpus()
-    _watchdog(float(os.environ.get("HH_BENCH_BUDGET_S", 480)))
+    _watchdog(float(os.environ.get("HH_BENCH_BUDGET_S", 480)) * 0.65)
 
-    healthy = d2h_healthy()
-    n, e2e_s = bench_parse_encode(vcf, sample, threads, with_d2h=healthy)
+    exec_ok, d2h_ok = device_health()
+    if not exec_ok:
+        # a wedged device would hang block_until_ready; bail so the
+        # orchestrator falls back to the CPU platform
+        log("worker: device cannot execute; exiting for orchestrator fallback")
+        os._exit(4)
+    n, e2e_s = bench_parse_encode(vcf, sample, threads, with_d2h=d2h_ok)
     e2e_vps = n / e2e_s
     _PARTIAL["value"] = round(e2e_vps)
 
@@ -502,4 +610,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("HH_BENCH_WORKER"):
+        main()
+    else:
+        orchestrate()
