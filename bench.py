@@ -73,7 +73,8 @@ def device_health(timeout_s: float = 30.0, retries: int = 3) -> tuple[bool, bool
             f"device probe attempt {attempt + 1}/{retries}: "
             f"exec={state['exec']} d2h={state['d2h']}"
         )
-        time.sleep(5)
+        if attempt < retries - 1:
+            time.sleep(5)
     if not state["exec"]:
         log("WARNING: device cannot execute; caller should fall back to CPU")
     elif not state["d2h"]:
@@ -496,12 +497,15 @@ def bench_host_only(vcf: str, sample: str, threads: int) -> dict:
     from haplohyped_tpu.ops.vcf_decode import decode_frames12_numpy
 
     best = None
-    for _ in range(3):
+    deadline = time.time() + float(os.environ.get("HH_BENCH_HOSTONLY_S", 120))
+    for it in range(3):
         t0 = time.time()
         rec, chroms, _ = native.vcf_frame12(vcf, sample, None, threads=threads)
-        dec = decode_frames12_numpy(rec, chroms)
+        dec = decode_frames12_numpy(rec)
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
+        if it == 0 and time.time() + dt > deadline:
+            break  # bounded: never blow the orchestrator budget re-iterating
     n = rec.shape[0]
     vps = n / best
     log(
@@ -517,14 +521,32 @@ def bench_host_only(vcf: str, sample: str, threads: int) -> dict:
     }
 
 
+def _extract_json(stdout: bytes) -> dict | None:
+    for line in reversed(stdout.decode(errors="replace").splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    return None
+
+
 def _run_worker(env_extra: dict, timeout_s: float) -> dict | None:
     """Run the measurement worker in a subprocess; return its JSON result
     or None on timeout/crash/no-JSON.  The subprocess boundary is the only
-    reliable guard against wedged device runtimes hanging this process."""
+    reliable guard against wedged device runtimes hanging this process.
+
+    The worker receives HH_BENCH_BUDGET_S scaled to ITS timeout so its
+    in-process watchdog (armed at 0.8x that budget) fires — and emits any
+    partial measurements — before this subprocess kill does; if the kill
+    wins anyway, the partial stdout captured by TimeoutExpired is scanned
+    for a JSON line rather than discarded."""
     import subprocess
 
     env = dict(os.environ)
     env["HH_BENCH_WORKER"] = "1"
+    env["HH_BENCH_BUDGET_S"] = str(timeout_s)
     env.update(env_extra)
     tag = env_extra.get("JAX_PLATFORMS", "default-platform")
     log(f"--- launching bench worker ({tag}, timeout {timeout_s:.0f}s) ---")
@@ -536,45 +558,59 @@ def _run_worker(env_extra: dict, timeout_s: float) -> dict | None:
             stderr=sys.stderr,
             timeout=timeout_s,
         )
-    except subprocess.TimeoutExpired:
+    except subprocess.TimeoutExpired as exc:
         log(f"worker ({tag}) timed out after {timeout_s:.0f}s")
-        return None
-    for line in reversed(proc.stdout.decode(errors="replace").splitlines()):
-        line = line.strip()
-        if line.startswith("{"):
-            try:
-                return json.loads(line)
-            except json.JSONDecodeError:
-                continue
-    log(f"worker ({tag}) exited rc={proc.returncode} without a JSON line")
-    return None
+        result = _extract_json(exc.stdout) if exc.stdout else None
+        if result is not None:
+            log(f"worker ({tag}) left a partial JSON line before the kill; using it")
+        return result
+    result = _extract_json(proc.stdout)
+    if result is None:
+        log(f"worker ({tag}) exited rc={proc.returncode} without a JSON line")
+    return result
 
 
 def orchestrate() -> None:
     """Always emits exactly one JSON line: try the real accelerator in a
     killable subprocess, then the CPU platform, then a host-only inline
-    measurement (no accelerator involved)."""
+    measurement (no accelerator involved).  Worker timeouts are computed
+    from the REMAINING budget so the whole orchestration stays inside
+    HH_BENCH_BUDGET_S even after slow corpus generation."""
     threads = os.cpu_count() or 1
-    vcf, sample = ensure_corpus()
     budget = float(os.environ.get("HH_BENCH_BUDGET_S", 480))
+    t_start = time.time()
+    vcf, sample = ensure_corpus()
 
-    result = _run_worker({}, timeout_s=budget * 0.7)
+    remaining = budget - (time.time() - t_start)
+    result = _run_worker({}, timeout_s=max(60.0, remaining * 0.7))
     if result is None and os.environ.get("JAX_PLATFORMS", "") != "cpu":
+        remaining = budget - (time.time() - t_start)
         result = _run_worker(
             {"JAX_PLATFORMS": "cpu", "HH_BENCH_VARIANTS": str(N_VARIANTS)},
-            timeout_s=budget * 0.25,
+            timeout_s=max(45.0, remaining * 0.8),
         )
         if result is not None:
             result["note"] = "cpu-platform fallback (accelerator unreachable)"
     if result is None:
+        remaining = budget - (time.time() - t_start)
+        os.environ["HH_BENCH_HOSTONLY_S"] = str(max(30.0, remaining * 0.8))
         result = bench_host_only(vcf, sample, threads)
     _emit(result)
 
 
 def main() -> None:
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # some images pre-import jax pinned to an accelerator platform via
+        # sitecustomize, which overrides the env var; re-pin via config
+        # before any backend initializes so the CPU fallback really is CPU
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     threads = os.cpu_count() or 1
     vcf, sample = ensure_corpus()
-    _watchdog(float(os.environ.get("HH_BENCH_BUDGET_S", 480)) * 0.65)
+    # 0.8x: the orchestrator hands each worker a budget equal to its own
+    # subprocess timeout, so the watchdog must fire strictly before that
+    _watchdog(float(os.environ.get("HH_BENCH_BUDGET_S", 480)) * 0.8)
 
     exec_ok, d2h_ok = device_health()
     if not exec_ok:
