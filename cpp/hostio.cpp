@@ -473,6 +473,464 @@ int frame_vcf_threaded(const char *path, const char *sample, const char *region,
     return 0;
 }
 
+/* ------------------------------------------------------------------ */
+/* v2 compact framing: 5-byte fixed records + (N, S) GT byte matrix    */
+/*                                                                     */
+/* The round-2 wire format: half the single-sample bytes of the 12-    */
+/* byte layout and S-sample extraction in ONE file pass (the reference */
+/* re-reads the file per donor, vcf_to_h5.py:142-152).  Layout is      */
+/* mirrored in haplohyped_tpu/hostio/frame_format.py (V2_*) — keep in  */
+/* sync.  Fixed record (5 bytes):                                      */
+/*   [0:2) POS delta from previous record, u16 LE (0 + ESCAPE flag     */
+/*         when first-in-chunk / chrom change / negative / > 65535 /   */
+/*         malformed; the absolute POS goes to the exceptions arrays)  */
+/*   [2]   first REF byte   [3] first ALT byte                         */
+/*   [4]   flags: bit0 WELL_FORMED (>= 8 fields, POS 1-10 digits       */
+/*               fitting u32), bit1 REF1 (ref_len == 1), bit2 ALT1,    */
+/*               bit3 POS_ESCAPE                                       */
+/* Per-sample GT byte:                                                 */
+/*   bits0-1 first-allele class  (0 '0', 1 nonzero digit, 2 '.',       */
+/*           3 other/absent)                                           */
+/*   bits2-3 second-allele class (same)                                */
+/*   bits4-5 separator (0 none/short, 1 '|', 2 '/', 3 other)           */
+/*   bit6 HAS_GT   bit7 DIPLOID_LEN (>= 3 chars)                       */
+/* Side arrays (device reconstructs POS via cumsum + exception fix-up, */
+/* chrom ids via run-length searchsorted):                             */
+/*   exc_idx/exc_pos — global record index + absolute POS of escapes   */
+/*   run_counts/run_ids — chrom run lengths + table ids                */
+/* POS integer reconstruction, the SNP predicate, and genotype         */
+/* presence/missing/phase semantics all decode on the accelerator      */
+/* (ops/vcf_decode.py decode_frames_v2).                               */
+/* ------------------------------------------------------------------ */
+
+constexpr size_t kV2Fixed = 5;
+
+/* 2-bit GT allele class (see layout comment). */
+inline uint8_t gt_class2(uint8_t c) {
+    if (c == '0') return 0;
+    if (c >= '1' && c <= '9') return 1;
+    if (c == '.') return 2;
+    return 3;
+}
+
+struct V2Part {
+    std::vector<uint8_t> fixed;      /* n * 5 */
+    std::vector<uint8_t> gts;        /* n * S */
+    std::vector<int64_t> exc_idx;    /* part-local record indices */
+    std::vector<uint32_t> exc_pos;   /* absolute POS (1-based; 0 = malformed) */
+    std::vector<int64_t> run_counts; /* chrom run lengths */
+    std::vector<uint8_t> run_ids;    /* part-local chrom ids */
+    std::vector<std::string> chroms; /* part-local chrom table */
+    int64_t total_seen = 0;
+    bool chrom_overflow = false;
+    int64_t n = 0;
+};
+
+/* Frame byte range [lo, hi) of data lines into the v2 layout.
+ * col_to_slot maps sample column index -> output GT slot (-1 = unwanted);
+ * n_slots is S.  Threads get independent parts; the caller merges. */
+void frame_range_v2(const std::vector<uint8_t> &text, size_t lo, size_t hi,
+                    const Region &region, const std::vector<int> &col_to_slot,
+                    int n_slots, V2Part &out) {
+    const size_t S = (size_t)n_slots;
+    out.fixed.reserve((hi - lo) / 80 * kV2Fixed);
+    out.gts.reserve((hi - lo) / 80 * (S ? S : 1));
+    std::vector<uint8_t> gt_row(S, 0);
+    int64_t prev_pos = -1; /* -1 = next record must escape */
+    int last_chrom = -1;
+    size_t off = lo;
+    auto intern_chrom = [&](const uint8_t *c, size_t l) -> int {
+        if (last_chrom >= 0 && out.chroms[(size_t)last_chrom].size() == l &&
+            memcmp(out.chroms[(size_t)last_chrom].data(), c, l) == 0)
+            return last_chrom;
+        for (size_t i = 0; i < out.chroms.size(); i++) {
+            if (out.chroms[i].size() == l &&
+                memcmp(out.chroms[i].data(), c, l) == 0)
+                return (int)i;
+        }
+        if (out.chroms.size() >= 255) {
+            out.chrom_overflow = true;
+            return -1;
+        }
+        out.chroms.emplace_back((const char *)c, l);
+        return (int)out.chroms.size() - 1;
+    };
+    while (off < hi) {
+        const uint8_t *nl =
+            (const uint8_t *)memchr(text.data() + off, '\n', text.size() - off);
+        size_t line_end = nl ? (size_t)(nl - text.data()) : text.size();
+        size_t len = line_end - off;
+        const uint8_t *line = text.data() + off;
+        while (len > 0 && line[len - 1] == '\r') len--;
+        if (len == 0 || line[0] == '#') {
+            off = line_end + 1;
+            continue;
+        }
+        out.total_seen++;
+
+        /* --- locate fields 0..8 in one pass ------------------------ */
+        size_t fstart[9], flen[9];
+        size_t p = 0, start = 0;
+        int field = 0;
+        while (field < 9 && p <= len) {
+            if (p == len || line[p] == '\t') {
+                fstart[field] = start;
+                flen[field] = p - start;
+                field++;
+                start = p + 1;
+            }
+            if (p == len) break;
+            p++;
+        }
+        if (field < 8) {
+            off = line_end + 1;
+            continue; /* malformed beyond use (reference skips too) */
+        }
+
+        /* --- region filter ------------------------------------------ */
+        if (!region.chrom.empty()) {
+            if (flen[0] != region.chrom.size() ||
+                memcmp(line + fstart[0], region.chrom.data(), flen[0]) != 0) {
+                off = line_end + 1;
+                continue;
+            }
+        }
+
+        /* --- POS parse (host validates; device reconstructs) -------- */
+        int64_t pos = 0;
+        bool pos_ok = flen[1] >= 1 && flen[1] <= 10;
+        if (pos_ok) {
+            for (size_t i = 0; i < flen[1]; i++) {
+                uint8_t c = line[fstart[1] + i];
+                if (c < '0' || c > '9') {
+                    pos_ok = false;
+                    break;
+                }
+                pos = pos * 10 + (c - '0');
+            }
+        }
+        if (pos_ok && pos > 0xFFFFFFFFll) pos_ok = false;
+        if (!region.chrom.empty() && (region.beg >= 0 || region.end >= 0)) {
+            if (!pos_ok) {
+                off = line_end + 1;
+                continue;
+            }
+            int64_t start0 = pos - 1;
+            if ((region.beg >= 0 && start0 < region.beg) ||
+                (region.end >= 0 && start0 >= region.end)) {
+                off = line_end + 1;
+                continue;
+            }
+        }
+
+        int cid = intern_chrom(line + fstart[0], flen[0]);
+        if (cid < 0) return; /* chrom overflow — caller falls back */
+
+        /* --- GT subfield index from FORMAT -------------------------- */
+        int gt_idx = 0;
+        if (S > 0) {
+            if (field < 9 || flen[8] < 2) {
+                gt_idx = -1;
+            } else if (line[fstart[8]] == 'G' && line[fstart[8] + 1] == 'T' &&
+                       (flen[8] == 2 || line[fstart[8] + 2] == ':')) {
+                gt_idx = 0;
+            } else {
+                gt_idx = gt_subfield_index(line + fstart[8], flen[8]);
+            }
+            if (gt_idx < 0) {
+                /* no GT in FORMAT: skip the record (reference parity — a
+                 * sample fetch with no GT yields nothing, vcfpp.h:483) */
+                off = line_end + 1;
+                continue;
+            }
+        }
+
+        /* --- per-sample GT bytes (one walk over columns 9..) -------- */
+        if (S > 0) {
+            std::fill(gt_row.begin(), gt_row.end(), (uint8_t)0);
+            size_t sp = start; /* start of field 9 */
+            size_t col = 0;
+            const size_t n_cols = col_to_slot.size();
+            while (col < n_cols && sp <= len) {
+                const uint8_t *tab =
+                    (const uint8_t *)memchr(line + sp, '\t', len - sp);
+                size_t fend = tab ? (size_t)(tab - line) : len;
+                int slot = col_to_slot[col];
+                if (slot >= 0) {
+                    /* select the gt_idx-th ':' subfield */
+                    size_t gs = sp;
+                    bool found = true;
+                    for (int k = 0; k < gt_idx; k++) {
+                        const uint8_t *c =
+                            (const uint8_t *)memchr(line + gs, ':', fend - gs);
+                        if (!c) {
+                            found = false;
+                            break;
+                        }
+                        gs = (size_t)(c - line) + 1;
+                    }
+                    if (found && gs < fend) {
+                        const uint8_t *c =
+                            (const uint8_t *)memchr(line + gs, ':', fend - gs);
+                        size_t gend = c ? (size_t)(c - line) : fend;
+                        size_t gl = gend - gs;
+                        uint8_t g = 0x40; /* HAS_GT */
+                        g |= gt_class2(gl > 0 ? line[gs] : 0);
+                        g |= (uint8_t)(gt_class2(gl > 2 ? line[gs + 2] : 0) << 2);
+                        if (gl >= 2) {
+                            uint8_t sep = line[gs + 1];
+                            uint8_t sc = sep == '|' ? 1 : (sep == '/' ? 2 : 3);
+                            g |= (uint8_t)(sc << 4);
+                        }
+                        if (gl >= 3) g |= 0x80; /* DIPLOID_LEN */
+                        gt_row[(size_t)slot] = g;
+                    }
+                }
+                if (!tab) break;
+                sp = fend + 1;
+                col++;
+            }
+        }
+
+        /* --- fixed record ------------------------------------------- */
+        uint8_t rec[kV2Fixed] = {0, 0, 0, 0, 0};
+        uint8_t flags = 0;
+        if (pos_ok) flags |= 1; /* WELL_FORMED */
+        if (flen[3] == 1) flags |= 2;
+        if (flen[4] == 1) flags |= 4;
+        rec[2] = flen[3] ? line[fstart[3]] : 0;
+        rec[3] = flen[4] ? line[fstart[4]] : 0;
+        int64_t delta = pos_ok ? pos - prev_pos : -1;
+        if (!pos_ok || prev_pos < 0 || cid != last_chrom || delta < 0 ||
+            delta > 0xFFFF) {
+            flags |= 8; /* POS_ESCAPE */
+            out.exc_idx.push_back(out.n);
+            out.exc_pos.push_back(pos_ok ? (uint32_t)pos : 0);
+        } else {
+            rec[0] = (uint8_t)(delta & 0xFF);
+            rec[1] = (uint8_t)(delta >> 8);
+        }
+        prev_pos = pos_ok ? pos : -1;
+        rec[4] = flags;
+        out.fixed.insert(out.fixed.end(), rec, rec + kV2Fixed);
+        if (S > 0) out.gts.insert(out.gts.end(), gt_row.begin(), gt_row.end());
+
+        /* --- chrom run-length --------------------------------------- */
+        if (last_chrom == cid && !out.run_counts.empty()) {
+            out.run_counts.back()++;
+        } else {
+            out.run_counts.push_back(1);
+            out.run_ids.push_back((uint8_t)cid);
+        }
+        last_chrom = cid;
+        out.n++;
+        off = line_end + 1;
+    }
+}
+
+/* Decompress only the blocks needed for (header + [c_lo, c_hi]) of a BGZF
+ * file.  c_lo/c_hi are compressed offsets of the first/last block to decode
+ * (from tabix virtual offsets); u_skip is the in-block uncompressed offset
+ * of the first record.  Output `text` = header bytes + body bytes and
+ * `frame_from` = offset where framing starts.  Counts decoded blocks. */
+bool load_text_range(const char *path, int64_t c_lo, int64_t u_skip,
+                     int64_t c_hi, std::vector<uint8_t> &text,
+                     size_t &frame_from, int64_t &blocks_decoded,
+                     std::string &err) {
+    std::vector<uint8_t> raw;
+    if (!read_file(path, raw, err)) return false;
+    if (!is_bgzf(raw)) {
+        err = "range framing requires a BGZF file";
+        return false;
+    }
+    std::vector<BgzfBlock> blocks;
+    size_t total = 0;
+    if (!scan_bgzf_blocks(raw, blocks, total, err)) return false;
+    blocks_decoded = 0;
+
+    auto decode_one = [&](size_t i, uint8_t *dst) -> bool {
+        const BgzfBlock &b = blocks[i];
+        if (b.usize == 0) return true;
+        size_t xlen = raw[b.coffset + 10] | (raw[b.coffset + 11] << 8);
+        size_t data_off = b.coffset + 12 + xlen;
+        size_t data_len = b.csize - (12 + xlen) - 8;
+        blocks_decoded++;
+        return inflate_raw_block(raw.data() + data_off, data_len, dst, b.usize);
+    };
+
+    /* header: decode blocks from 0 until #CHROM + first data line found */
+    std::vector<uint8_t> head;
+    HeaderInfo hi;
+    size_t hb = 0;
+    for (; hb < blocks.size(); hb++) {
+        size_t old = head.size();
+        head.resize(old + blocks[hb].usize);
+        if (!decode_one(hb, head.data() + old)) {
+            err = "BGZF block decompression failed (header)";
+            return false;
+        }
+        hi = HeaderInfo();
+        std::string herr;
+        if (parse_header(head, hi, herr) && hi.data_start < head.size()) break;
+    }
+    if (hb == blocks.size()) {
+        err = "VCF has no #CHROM header line";
+        return false;
+    }
+
+    /* body block range from compressed offsets */
+    size_t b_lo = 0;
+    {
+        size_t lo = 0, hi2 = blocks.size();
+        while (lo < hi2) {
+            size_t mid = (lo + hi2) / 2;
+            if ((int64_t)blocks[mid].coffset < c_lo)
+                lo = mid + 1;
+            else
+                hi2 = mid;
+        }
+        b_lo = (lo < blocks.size() && (int64_t)blocks[lo].coffset == c_lo)
+                   ? lo
+                   : (lo > 0 ? lo - 1 : 0);
+    }
+    size_t b_hi = b_lo; /* inclusive */
+    while (b_hi + 1 < blocks.size() && (int64_t)blocks[b_hi].coffset < c_hi)
+        b_hi++;
+
+    /* absolute uncompressed start of the first record */
+    size_t abs_u = blocks[b_lo].uoffset + (size_t)(u_skip > 0 ? u_skip : 0);
+    if (abs_u < hi.data_start) abs_u = hi.data_start;
+
+    /* decode the body range (extend while the final line is unterminated) */
+    std::vector<uint8_t> body;
+    size_t body_base = blocks[b_lo].uoffset;
+    for (size_t i = b_lo; i <= b_hi && i < blocks.size(); i++) {
+        size_t old = body.size();
+        body.resize(old + blocks[i].usize);
+        if (!decode_one(i, body.data() + old)) {
+            err = "BGZF block decompression failed (body)";
+            return false;
+        }
+    }
+    while (!body.empty() && body.back() != '\n' && b_hi + 1 < blocks.size()) {
+        b_hi++;
+        size_t old = body.size();
+        body.resize(old + blocks[b_hi].usize);
+        if (!decode_one(b_hi, body.data() + old)) {
+            err = "BGZF block decompression failed (extend)";
+            return false;
+        }
+    }
+
+    /* compose: header prefix + body from the record start */
+    size_t skip_in_body = abs_u > body_base ? abs_u - body_base : 0;
+    if (skip_in_body > body.size()) skip_in_body = body.size();
+    text.assign(head.begin(), head.begin() + (long)hi.data_start);
+    frame_from = text.size();
+    text.insert(text.end(), body.begin() + (long)skip_in_body, body.end());
+    return true;
+}
+
+/* Shared v2 framing driver.  samples: NULL/"" = no GT (S=0), "*" = all
+ * header samples, else newline-joined names.  c_lo >= 0 selects indexed
+ * range mode (BGZF only).  Returns 0 ok, 1 I/O/header error, 2 unknown
+ * sample, 3 chrom-table overflow. */
+int frame_vcf_v2(const char *path, const char *samples, const char *region,
+                 int threads, int64_t c_lo, int64_t u_skip, int64_t c_hi,
+                 std::vector<V2Part> &parts, std::vector<std::string> &order,
+                 int64_t &blocks_decoded, std::string &err) {
+    std::vector<uint8_t> text;
+    size_t frame_from = 0;
+    blocks_decoded = -1; /* -1 = full scan (no range accounting) */
+    if (c_lo >= 0) {
+        if (!load_text_range(path, c_lo, u_skip, c_hi, text, frame_from,
+                             blocks_decoded, err))
+            return 1;
+    } else {
+        if (!load_text(path, threads, text, err)) return 1;
+    }
+    HeaderInfo hi;
+    if (!parse_header(text, hi, err)) return 1;
+    if (c_lo < 0) frame_from = hi.data_start;
+
+    /* resolve sample set -> column slots */
+    std::vector<int> col_to_slot(hi.samples.size(), -1);
+    int n_slots = 0;
+    if (samples && *samples) {
+        if (strcmp(samples, "*") == 0) {
+            for (size_t i = 0; i < hi.samples.size(); i++)
+                col_to_slot[i] = (int)i;
+            n_slots = (int)hi.samples.size();
+            order = hi.samples;
+        } else {
+            std::string s(samples);
+            size_t p = 0;
+            while (p <= s.size()) {
+                size_t nlp = s.find('\n', p);
+                std::string name =
+                    s.substr(p, nlp == std::string::npos ? nlp : nlp - p);
+                if (!name.empty()) {
+                    int colidx = -1;
+                    for (size_t i = 0; i < hi.samples.size(); i++) {
+                        if (hi.samples[i] == name) {
+                            colidx = (int)i;
+                            break;
+                        }
+                    }
+                    if (colidx < 0) {
+                        err = "sample not found in VCF header: " + name;
+                        return 2;
+                    }
+                    col_to_slot[(size_t)colidx] = n_slots++;
+                    order.push_back(name);
+                }
+                if (nlp == std::string::npos) break;
+                p = nlp + 1;
+            }
+        }
+    }
+    Region reg = parse_region(region);
+
+    /* line-snapped thread ranges over the data span */
+    int nthreads = threads > 0 ? threads : 1;
+    size_t lo = frame_from, n = text.size();
+    size_t span = n > lo ? n - lo : 0;
+    if (span / 1000000 < (size_t)nthreads)
+        nthreads = (int)(span / 1000000) + 1;
+    std::vector<size_t> bounds;
+    bounds.push_back(lo);
+    for (int t = 1; t < nthreads; t++) {
+        size_t target = lo + span * (size_t)t / (size_t)nthreads;
+        const uint8_t *nl =
+            (const uint8_t *)memchr(text.data() + target, '\n', n - target);
+        size_t b = nl ? (size_t)(nl - text.data()) + 1 : n;
+        if (b <= bounds.back()) b = bounds.back();
+        bounds.push_back(b);
+    }
+    bounds.push_back(n);
+
+    parts.assign((size_t)nthreads, V2Part());
+    {
+        std::vector<std::thread> pool;
+        for (int t = 1; t < nthreads; t++) {
+            pool.emplace_back([&, t]() {
+                frame_range_v2(text, bounds[t], bounds[t + 1], reg,
+                               col_to_slot, n_slots, parts[t]);
+            });
+        }
+        frame_range_v2(text, bounds[0], bounds[1], reg, col_to_slot, n_slots,
+                       parts[0]);
+        for (auto &th : pool) th.join();
+    }
+    for (auto &pt : parts) {
+        if (pt.chrom_overflow) {
+            err = "more than 255 distinct chroms; use the 64-byte framer";
+            return 3;
+        }
+    }
+    return 0;
+}
+
 }  // namespace
 
 /* ------------------------------------------------------------------ */
@@ -619,6 +1077,136 @@ int hh_vcf_frame12(const char *path, const char *sample, const char *region,
     *out = buf;
     *out_n = (int64_t)(total_bytes / kRec12);
     if (total_seen) *total_seen = seen;
+    return 0;
+}
+
+/*
+ * Frame a VCF into the v2 compact layout (5-byte fixed records + an (n, S)
+ * GT byte matrix + POS-exception and chrom-run side arrays; see the layout
+ * comment above frame_range_v2).  samples: NULL/"" = no genotypes, "*" =
+ * every header sample, else newline-joined names (output GT slot order
+ * follows the given order; *samples_out echoes it resolved).  c_lo >= 0
+ * selects indexed range mode: only BGZF blocks [c_lo, c_hi] (compressed
+ * offsets, e.g. from a tabix virtual offset) plus the header blocks are
+ * decompressed, u_skip giving the first record's in-block offset;
+ * *blocks_decoded reports how many blocks were actually inflated (-1 for a
+ * full scan).  Returns 0 ok, 1 I/O error, 2 unknown sample, 3 > 255 chroms.
+ */
+int hh_vcf_frame_v2(const char *path, const char *samples, const char *region,
+                    int threads, int64_t c_lo, int64_t u_skip, int64_t c_hi,
+                    uint8_t **fixed_out, uint8_t **gt_out, int64_t *out_n,
+                    int32_t *out_s, int64_t **exc_idx_out,
+                    uint32_t **exc_pos_out, int64_t *n_exc,
+                    int64_t **run_counts_out, uint8_t **run_ids_out,
+                    int64_t *n_runs, char **chroms_out, char **samples_out,
+                    int64_t *total_seen, int64_t *blocks_decoded, char *errbuf,
+                    int errlen) {
+    ErrBuf eb{errbuf, errlen};
+    std::string err;
+    std::vector<V2Part> parts;
+    std::vector<std::string> order;
+    int64_t nblk = -1;
+    int rc = frame_vcf_v2(path, samples, region, threads, c_lo, u_skip, c_hi,
+                          parts, order, nblk, err);
+    if (rc != 0) {
+        eb.set(err);
+        return rc;
+    }
+
+    /* global chrom table (first-seen across parts, in part order) */
+    std::vector<std::string> chroms;
+    int64_t n = 0, seen = 0, total_exc = 0;
+    size_t total_runs = 0, s = 0;
+    for (auto &pt : parts) {
+        n += pt.n;
+        seen += pt.total_seen;
+        total_exc += (int64_t)pt.exc_idx.size();
+        total_runs += pt.run_counts.size();
+        for (auto &c : pt.chroms) {
+            bool found = false;
+            for (auto &g : chroms)
+                if (g == c) {
+                    found = true;
+                    break;
+                }
+            if (!found) chroms.push_back(c);
+        }
+    }
+    s = order.size();
+    if (chroms.size() > 255) {
+        eb.set("more than 255 distinct chroms; use the 64-byte framer");
+        return 3;
+    }
+
+    uint8_t *fbuf = (uint8_t *)malloc((size_t)n * kV2Fixed + 1);
+    uint8_t *gbuf = (uint8_t *)malloc((size_t)n * (s ? s : 1) + 1);
+    int64_t *ebuf = (int64_t *)malloc((size_t)total_exc * 8 + 1);
+    uint32_t *pbuf = (uint32_t *)malloc((size_t)total_exc * 4 + 1);
+    int64_t *rcbuf = (int64_t *)malloc(total_runs * 8 + 1);
+    uint8_t *ribuf = (uint8_t *)malloc(total_runs + 1);
+
+    size_t foff = 0, goff = 0, eoff = 0, roff = 0;
+    int64_t rec_off = 0;
+    int prev_run_id = -1;
+    for (auto &pt : parts) {
+        uint8_t remap[256] = {0};
+        for (size_t i = 0; i < pt.chroms.size(); i++) {
+            for (size_t g = 0; g < chroms.size(); g++) {
+                if (chroms[g] == pt.chroms[i]) {
+                    remap[i] = (uint8_t)g;
+                    break;
+                }
+            }
+        }
+        memcpy(fbuf + foff, pt.fixed.data(), pt.fixed.size());
+        foff += pt.fixed.size();
+        if (s) {
+            memcpy(gbuf + goff, pt.gts.data(), pt.gts.size());
+            goff += pt.gts.size();
+        }
+        for (size_t i = 0; i < pt.exc_idx.size(); i++) {
+            ebuf[eoff] = pt.exc_idx[i] + rec_off;
+            pbuf[eoff] = pt.exc_pos[i];
+            eoff++;
+        }
+        for (size_t i = 0; i < pt.run_counts.size(); i++) {
+            int gid = remap[pt.run_ids[i]];
+            if (gid == prev_run_id && roff > 0) {
+                rcbuf[roff - 1] += pt.run_counts[i]; /* coalesce across parts */
+            } else {
+                rcbuf[roff] = pt.run_counts[i];
+                ribuf[roff] = (uint8_t)gid;
+                roff++;
+                prev_run_id = gid;
+            }
+        }
+        rec_off += pt.n;
+    }
+
+    auto join = [](const std::vector<std::string> &v) -> char * {
+        std::string joined;
+        for (size_t i = 0; i < v.size(); i++) {
+            if (i) joined += '\n';
+            joined += v[i];
+        }
+        char *b = (char *)malloc(joined.size() + 1);
+        memcpy(b, joined.c_str(), joined.size() + 1);
+        return b;
+    };
+    *fixed_out = fbuf;
+    *gt_out = gbuf;
+    *out_n = n;
+    *out_s = (int32_t)s;
+    *exc_idx_out = ebuf;
+    *exc_pos_out = pbuf;
+    *n_exc = (int64_t)eoff;
+    *run_counts_out = rcbuf;
+    *run_ids_out = ribuf;
+    *n_runs = (int64_t)roff;
+    *chroms_out = join(chroms);
+    *samples_out = join(order);
+    if (total_seen) *total_seen = seen;
+    if (blocks_decoded) *blocks_decoded = nblk;
     return 0;
 }
 

@@ -56,6 +56,28 @@ def _load() -> ctypes.CDLL | None:
                     ctypes.c_char_p,
                     ctypes.c_int,
                 ]
+                lib.hh_vcf_frame_v2.argtypes = (
+                    [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p]
+                    + [ctypes.c_int]
+                    + [ctypes.c_int64] * 3
+                    + [
+                        ctypes.POINTER(ctypes.c_void_p),  # fixed
+                        ctypes.POINTER(ctypes.c_void_p),  # gt
+                        ctypes.POINTER(ctypes.c_int64),  # n
+                        ctypes.POINTER(ctypes.c_int32),  # s
+                        ctypes.POINTER(ctypes.c_void_p),  # exc_idx
+                        ctypes.POINTER(ctypes.c_void_p),  # exc_pos
+                        ctypes.POINTER(ctypes.c_int64),  # n_exc
+                        ctypes.POINTER(ctypes.c_void_p),  # run_counts
+                        ctypes.POINTER(ctypes.c_void_p),  # run_ids
+                        ctypes.POINTER(ctypes.c_int64),  # n_runs
+                        ctypes.POINTER(ctypes.c_void_p),  # chroms
+                        ctypes.POINTER(ctypes.c_void_p),  # samples
+                        ctypes.POINTER(ctypes.c_int64),  # total_seen
+                        ctypes.POINTER(ctypes.c_int64),  # blocks_decoded
+                    ]
+                    + [ctypes.c_char_p, ctypes.c_int]
+                )
                 lib.hh_vcf_text.argtypes = [
                     ctypes.c_char_p,
                     ctypes.c_int,
@@ -140,6 +162,19 @@ def native_available() -> bool:
     return _load() is not None
 
 
+#: Count of file decompressions performed by framing calls — lets tests
+#: assert the single-pass property of the multi-sample converter (the
+#: reference decompresses the whole file once per donor,
+#: vcf_to_h5.py:142-152).  Indexed range framings still count as one call
+#: here; their block subset is asserted via ``FrameV2.blocks_decoded``.
+DECOMPRESS_COUNT = 0
+
+
+def _count_decompress() -> None:
+    global DECOMPRESS_COUNT
+    DECOMPRESS_COUNT += 1
+
+
 def vcf_samples(path: str, threads: int = 1) -> list[str]:
     lib = _load()
     assert lib is not None
@@ -166,6 +201,7 @@ def vcf_frame(
     n = ctypes.c_int64()
     seen = ctypes.c_int64()
     err = ctypes.create_string_buffer(512)
+    _count_decompress()
     rc = lib.hh_vcf_frame(
         path.encode(),
         sample.encode() if sample else None,
@@ -204,6 +240,7 @@ def vcf_frame12(
     seen = ctypes.c_int64()
     chroms_p = ctypes.c_void_p()
     err = ctypes.create_string_buffer(512)
+    _count_decompress()
     rc = lib.hh_vcf_frame12(
         path.encode(),
         sample.encode() if sample else None,
@@ -230,6 +267,115 @@ def vcf_frame12(
     records = np.frombuffer(buf, dtype=np.uint8).reshape(-1, 12).copy()
     chroms = raw_chroms.decode().split("\n") if raw_chroms else []
     return records, chroms, int(seen.value)
+
+
+def vcf_frame_v2(
+    path: str,
+    samples: "list[str] | str | None",
+    region: str | None,
+    threads: int = 1,
+    c_lo: int = -1,
+    u_skip: int = 0,
+    c_hi: int = -1,
+):
+    """Frame a VCF natively into the v2 compact layout (one pass, S samples).
+
+    ``samples``: None/[] = no genotypes; ``"*"`` = every header sample; a
+    list or a single name = those samples in slot order.  ``c_lo >= 0``
+    selects indexed range mode (see hh_vcf_frame_v2).  Returns a
+    :class:`~haplohyped_tpu.hostio.frame_format.FrameV2`.  Raises
+    ``ValueError`` on > 255 distinct chroms (fall back to vcf_frame).
+    """
+    from haplohyped_tpu.hostio.frame_format import V2_FIXED_SIZE, FrameV2
+
+    lib = _load()
+    assert lib is not None
+    if samples is None:
+        samples_arg = None
+    elif isinstance(samples, str):
+        samples_arg = samples.encode()
+    else:
+        samples_arg = "\n".join(samples).encode() if samples else None
+
+    fixed_p, gt_p = ctypes.c_void_p(), ctypes.c_void_p()
+    n, s = ctypes.c_int64(), ctypes.c_int32()
+    exc_idx_p, exc_pos_p = ctypes.c_void_p(), ctypes.c_void_p()
+    n_exc = ctypes.c_int64()
+    run_counts_p, run_ids_p = ctypes.c_void_p(), ctypes.c_void_p()
+    n_runs = ctypes.c_int64()
+    chroms_p, samples_p = ctypes.c_void_p(), ctypes.c_void_p()
+    seen, nblk = ctypes.c_int64(), ctypes.c_int64()
+    err = ctypes.create_string_buffer(512)
+    _count_decompress()
+    rc = lib.hh_vcf_frame_v2(
+        path.encode(),
+        samples_arg,
+        region.encode() if region else None,
+        threads,
+        c_lo,
+        u_skip,
+        c_hi,
+        ctypes.byref(fixed_p),
+        ctypes.byref(gt_p),
+        ctypes.byref(n),
+        ctypes.byref(s),
+        ctypes.byref(exc_idx_p),
+        ctypes.byref(exc_pos_p),
+        ctypes.byref(n_exc),
+        ctypes.byref(run_counts_p),
+        ctypes.byref(run_ids_p),
+        ctypes.byref(n_runs),
+        ctypes.byref(chroms_p),
+        ctypes.byref(samples_p),
+        ctypes.byref(seen),
+        ctypes.byref(nblk),
+        err,
+        512,
+    )
+    if rc == 3:
+        raise ValueError(err.value.decode())
+    if rc != 0:
+        raise RuntimeError(err.value.decode() or f"hh_vcf_frame_v2 failed ({rc})")
+    try:
+        nn, ss, ne, nr = int(n.value), int(s.value), int(n_exc.value), int(n_runs.value)
+
+        def take(p, dtype, count, itemsize):
+            if count == 0:
+                return np.zeros(count, dtype)
+            return np.frombuffer(
+                ctypes.string_at(p, count * itemsize), dtype=dtype
+            ).copy()
+
+        fixed = take(fixed_p, np.uint8, nn * V2_FIXED_SIZE, 1).reshape(
+            nn, V2_FIXED_SIZE
+        )
+        gt = (
+            take(gt_p, np.uint8, nn * ss, 1).reshape(nn, ss)
+            if ss
+            else np.zeros((nn, 0), np.uint8)
+        )
+        exc_idx = take(exc_idx_p, np.int64, ne, 8)
+        exc_pos = take(exc_pos_p, np.uint32, ne, 4)
+        run_counts = take(run_counts_p, np.int64, nr, 8)
+        run_ids = take(run_ids_p, np.uint8, nr, 1)
+        raw_chroms = ctypes.string_at(chroms_p)
+        raw_samples = ctypes.string_at(samples_p)
+    finally:
+        for p in (fixed_p, gt_p, exc_idx_p, exc_pos_p, run_counts_p, run_ids_p,
+                  chroms_p, samples_p):
+            lib.hh_free(p)
+    return FrameV2(
+        fixed=fixed,
+        gt=gt,
+        exc_idx=exc_idx,
+        exc_pos=exc_pos,
+        run_counts=run_counts,
+        run_ids=run_ids,
+        chroms=raw_chroms.decode().split("\n") if raw_chroms else [],
+        samples=raw_samples.decode().split("\n") if raw_samples else [],
+        total_seen=int(seen.value),
+        blocks_decoded=int(nblk.value),
+    )
 
 
 class VCFText:
@@ -276,6 +422,7 @@ def vcf_text(path: str, threads: int = 1) -> VCFText:
     n_lines = ctypes.c_int64()
     samples_p = ctypes.c_void_p()
     err = ctypes.create_string_buffer(512)
+    _count_decompress()
     rc = lib.hh_vcf_text(
         path.encode(),
         threads,

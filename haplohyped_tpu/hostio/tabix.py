@@ -346,6 +346,56 @@ def build_index(bgzf_vcf: str, out_path: str | None = None, fmt: str = "tbi") ->
     return out_path
 
 
+def _span_from_chunks(chunks) -> tuple[int, int] | None:
+    if not chunks:
+        return None
+    return min(cb for cb, _ in chunks), max(ce for _, ce in chunks)
+
+
+def region_block_range(
+    vcf_path: str, chrom: str, beg: int = -1, end: int = -1
+) -> tuple[int, int] | None:
+    """(voff_lo, voff_hi) virtual-offset span covering every record of
+    ``chrom`` overlapping ``[beg, end)`` (0-based; -1 = unbounded), from a
+    sibling ``.tbi`` or ``.csi``.  None when no usable index exists — the
+    caller falls back to a full-scan frame.  The span is a superset (index
+    chunks are bin-granular); record-level region filtering still applies.
+    """
+    tbi = vcf_path + ".tbi"
+    if os.path.exists(tbi):
+        try:
+            idx = TabixIndex.load(tbi)
+            if chrom not in idx.names:
+                return None
+            ref = idx.refs[idx.names.index(chrom)]
+            if beg >= 0 and end >= 0:
+                return _span_from_chunks(idx.query_chunks(chrom, beg, end))
+            all_chunks = [c for cl in ref.bins.values() for c in cl]
+            return _span_from_chunks(all_chunks)
+        except Exception:
+            pass
+    csi = vcf_path + ".csi"
+    if os.path.exists(csi):
+        try:
+            idx = CSIIndex.load(csi)
+            if chrom not in idx.names:
+                return None
+            bins = idx.refs[idx.names.index(chrom)]
+            all_chunks = [c for _, cl in bins.values() for c in cl]
+            span = _span_from_chunks(all_chunks)
+            if span is None:
+                return None
+            lo, hi = span
+            if beg >= 0:
+                mo = idx.min_offset(chrom, beg)
+                if mo:
+                    lo = max(lo, mo)
+            return lo, hi
+        except Exception:
+            pass
+    return None
+
+
 def region_virtual_offset(vcf_path: str, chrom: str, beg: int = 0) -> int | None:
     """Seek voffset for a region query from a sibling ``.tbi`` or ``.csi``."""
     tbi = vcf_path + ".tbi"

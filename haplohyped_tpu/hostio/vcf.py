@@ -118,6 +118,50 @@ class VCFSource:
         records, chroms = frames12_from_frames64(framed.records)
         return records, chroms, framed.total_seen
 
+    def frame_v2(
+        self,
+        samples: list[str] | str | None = None,
+        region: str | None = None,
+        use_index: bool = True,
+    ):
+        """Frame into the v2 compact layout: 5-byte fixed records + an
+        (n, S) GT byte matrix — ALL requested samples extracted in ONE file
+        pass (the reference re-reads the file per donor,
+        ``vcf_to_h5.py:142-152``), at half the single-sample wire bytes of
+        :meth:`frame12`.
+
+        ``samples``: None = no genotypes, ``"*"`` = every header sample, a
+        name or list = those samples in slot order.  When ``region`` names
+        an indexed chromosome (sibling ``.tbi``/``.csi``) and ``use_index``
+        is on, only the BGZF blocks covering that region are decompressed
+        (reference ``setRegion`` parity, ``vcfpp.h:1424-1453``) —
+        ``FrameV2.blocks_decoded`` reports the subset size.  Returns a
+        :class:`~haplohyped_tpu.hostio.frame_format.FrameV2`.
+        """
+        c_lo, u_skip, c_hi = -1, 0, -1
+        if use_index and region:
+            chrom, beg, end = _parse_region(region)
+            if chrom:
+                from haplohyped_tpu.hostio.tabix import region_block_range
+
+                span = region_block_range(self.path, chrom, beg, end)
+                if span is not None:
+                    voff_lo, voff_hi = span
+                    c_lo, u_skip = voff_lo >> 16, voff_lo & 0xFFFF
+                    c_hi = voff_hi >> 16
+        if self.use_native:
+            return native.vcf_frame_v2(
+                self.path, samples, region, self.threads,
+                c_lo=c_lo, u_skip=u_skip, c_hi=c_hi,
+            )
+        from haplohyped_tpu.hostio.frame_format import frame_v2_py
+
+        if isinstance(samples, str) and samples != "*":
+            samples = [samples]
+        elif samples == "*":
+            samples = ["*"]
+        return frame_v2_py(_read_text(self.path), samples, region)
+
     def _py_frame(self, sample: str | None, region: str | None) -> FramedRecords:
         text = _read_text(self.path)
         chrom_f, beg, end = _parse_region(region)

@@ -239,6 +239,241 @@ def decode_frames12(frames: jax.Array, with_sample: bool = True) -> dict[str, ja
     }
 
 
+@jax.jit
+def decode_frames_v2(
+    fixed: jax.Array,  # (N, 5) uint8
+    gt: jax.Array,  # (N, S) uint8 (S may be 0)
+    exc_idx: jax.Array,  # (E,) int — escaped record indices; pad with N
+    exc_pos: jax.Array,  # (E,) uint32 — absolute POS; pad arbitrary
+    run_counts: jax.Array,  # (R,) int — chrom run lengths; pad with 0
+    run_ids: jax.Array,  # (R,) uint8 — chrom ids; pad arbitrary
+) -> dict[str, jax.Array]:
+    """Decode the v2 compact layout (frame_format.py V2_*; half the wire
+    bytes of :func:`decode_frames12` per sample, and S samples at once).
+
+    POS reconstruction on device: records carry u16 deltas (cumsum), and
+    escaped records (chunk starts, chrom changes, gaps > 65535, malformed)
+    are fixed up from the exception arrays with a scatter + second cumsum —
+    ``pos = cumsum(delta) + cumsum(scatter(correction))`` where each
+    correction re-anchors the chain at its exception index.  Chrom ids
+    come from run-lengths via searchsorted.  Genotype decode keeps the
+    reference's allele-presence semantics per sample column
+    (``vcfpp.h:508-531``): phase arrays are ``(N, S)``.
+
+    ``stop`` is ``start + 1``, correct exactly for the records the SNP
+    pipeline keeps (``ref_len == 1`` by predicate); use the 12/64-byte
+    layouts when true REF lengths are needed.
+
+    Callers should pad ``exc_*`` / ``run_*`` to fixed-size buckets (pads:
+    ``exc_idx = N``, ``run_counts = 0``) to avoid retraces; padded entries
+    are inert (dropped scatters / zero-width runs).
+    """
+    from haplohyped_tpu.hostio.frame_format import (
+        V2_ALT_OFF,
+        V2_FLAGS_OFF,
+        V2_REF_OFF,
+        V2F_ALT1,
+        V2F_POS_ESCAPE,
+        V2F_REF1,
+        V2F_WELL_FORMED,
+        V2G_DIPLOID,
+        V2G_HAS_GT,
+        V2G_SEP_PIPE,
+        V2G_SEP_SHIFT,
+        V2G_SEP_SLASH,
+        V2_GT_CLASS_MISSING,
+    )
+
+    fixed = fixed.astype(jnp.uint8)
+    n = fixed.shape[0]
+    flags = fixed[:, V2_FLAGS_OFF]
+    escape = (flags & V2F_POS_ESCAPE) != 0
+
+    # --- POS: delta cumsum + exception re-anchoring ---------------------
+    delta = fixed[:, 0].astype(jnp.uint32) | (fixed[:, 1].astype(jnp.uint32) << 8)
+    d = jnp.where(escape, jnp.uint32(0), delta)
+    base = jnp.cumsum(d, dtype=jnp.uint32)  # inclusive
+    ei = exc_idx.astype(jnp.int32)
+    ei_safe = jnp.clip(ei, 0, jnp.maximum(n - 1, 0))
+    # target cumulative correction at each exception (uint32 wraparound is
+    # exactly the right arithmetic for "negative" re-anchors)
+    s_tgt = exc_pos.astype(jnp.uint32) - base[ei_safe]
+    c = s_tgt - jnp.concatenate([jnp.zeros(1, jnp.uint32), s_tgt[:-1]])
+    corr = jnp.zeros((n,), jnp.uint32).at[ei].add(c, mode="drop")
+    pos = base + jnp.cumsum(corr, dtype=jnp.uint32)
+    start = pos - 1
+    stop = start + 1  # SNP rows only (see docstring)
+
+    # --- REF/ALT + SNP predicate ----------------------------------------
+    ref_char = fixed[:, V2_REF_OFF]
+    alt_char = fixed[:, V2_ALT_OFF]
+    lut = jnp.asarray(BASE_LUT)
+    is_acgt = (
+        (alt_char == ord("A"))
+        | (alt_char == ord("C"))
+        | (alt_char == ord("G"))
+        | (alt_char == ord("T"))
+    )
+    ref1 = (flags & V2F_REF1) != 0
+    alt1 = (flags & V2F_ALT1) != 0
+    snp_mask = ref1 & alt1 & is_acgt
+    well_formed = (flags & V2F_WELL_FORMED) != 0
+
+    # --- chrom ids from run-lengths (int32: record counts are < 2^31) ----
+    cum = jnp.cumsum(run_counts.astype(jnp.int32))
+    rid = jnp.searchsorted(cum, jnp.arange(n, dtype=jnp.int32), side="right")
+    chrom_id = run_ids.astype(jnp.uint8)[jnp.clip(rid, 0, run_ids.shape[0] - 1)]
+
+    # --- per-sample genotype columns (N, S) -------------------------------
+    gt = gt.astype(jnp.uint8)
+    a0 = gt & 3
+    a2 = (gt >> 2) & 3
+    sep = (gt >> V2G_SEP_SHIFT) & 3
+    has_gt = (gt & V2G_HAS_GT) != 0
+    sep_ok = (sep == V2G_SEP_PIPE) | (sep == V2G_SEP_SLASH)
+    diploid = has_gt & ((gt & V2G_DIPLOID) != 0) & sep_ok
+    miss = jnp.uint8(V2_GT_CLASS_MISSING)
+    missing = diploid & ((a0 == miss) | (a2 == miss))
+    phase1 = jnp.where(missing, jnp.int8(1), (a0 != 0).astype(jnp.int8))
+    phase2 = jnp.where(missing, jnp.int8(0), (a2 != 0).astype(jnp.int8))
+    phased = diploid & (sep == V2G_SEP_PIPE)
+    valid = well_formed[:, None] & diploid
+
+    return {
+        "start": start,
+        "stop": stop,
+        "ref_char": ref_char,
+        "alt_char": alt_char,
+        "ref_code": lut[ref_char],
+        "alt_code": lut[alt_char],
+        "ref1": ref1,
+        "alt1": alt1,
+        "snp_mask": snp_mask,
+        "well_formed": well_formed,
+        "chrom_id": chrom_id,
+        "phase1": phase1,  # (N, S)
+        "phase2": phase2,  # (N, S)
+        "phased": phased,  # (N, S)
+        "missing": missing,  # (N, S)
+        "valid": valid,  # (N, S)
+    }
+
+
+def pad_v2_sides(
+    frame, bucket: int = 8
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Pad a FrameV2's side arrays to power-of-two buckets so repeated
+    :func:`decode_frames_v2` calls hit the jit cache (pads are inert:
+    ``exc_idx = N`` scatters drop, ``run_counts = 0`` runs are zero-width)."""
+    n = frame.n
+
+    def bucketed(size: int) -> int:
+        b = bucket
+        while b < size:
+            b *= 2
+        return b
+
+    eb = bucketed(max(1, frame.exc_idx.shape[0]))
+    rb = bucketed(max(1, frame.run_counts.shape[0]))
+    exc_idx = np.full(eb, n, dtype=np.int64)
+    exc_idx[: frame.exc_idx.shape[0]] = frame.exc_idx
+    exc_pos = np.zeros(eb, dtype=np.uint32)
+    exc_pos[: frame.exc_pos.shape[0]] = frame.exc_pos
+    run_counts = np.zeros(rb, dtype=np.int64)
+    run_counts[: frame.run_counts.shape[0]] = frame.run_counts
+    run_ids = np.zeros(rb, dtype=np.uint8)
+    run_ids[: frame.run_ids.shape[0]] = frame.run_ids
+    return exc_idx, exc_pos, run_counts, run_ids
+
+
+def decode_frames_v2_numpy(
+    fixed: np.ndarray,
+    gt: np.ndarray,
+    exc_idx: np.ndarray,
+    exc_pos: np.ndarray,
+    run_counts: np.ndarray,
+    run_ids: np.ndarray,
+) -> dict[str, np.ndarray]:
+    """Pure-numpy twin of :func:`decode_frames_v2` (validation / no-device)."""
+    from haplohyped_tpu.hostio.frame_format import (
+        V2_ALT_OFF,
+        V2_FLAGS_OFF,
+        V2_REF_OFF,
+        V2F_ALT1,
+        V2F_POS_ESCAPE,
+        V2F_REF1,
+        V2F_WELL_FORMED,
+        V2G_DIPLOID,
+        V2G_HAS_GT,
+        V2G_SEP_PIPE,
+        V2G_SEP_SHIFT,
+        V2G_SEP_SLASH,
+        V2_GT_CLASS_MISSING,
+    )
+
+    fixed = np.ascontiguousarray(fixed, dtype=np.uint8)
+    n = fixed.shape[0]
+    flags = fixed[:, V2_FLAGS_OFF]
+    escape = (flags & V2F_POS_ESCAPE) != 0
+
+    delta = fixed[:, 0].astype(np.uint32) | (fixed[:, 1].astype(np.uint32) << 8)
+    d = np.where(escape, np.uint32(0), delta)
+    base = np.cumsum(d, dtype=np.uint32)
+    real = exc_idx < n
+    ei = exc_idx[real].astype(np.int64)
+    s_tgt = exc_pos[real].astype(np.uint32) - base[np.clip(ei, 0, max(n - 1, 0))]
+    c = s_tgt - np.concatenate([np.zeros(1, np.uint32), s_tgt[:-1]])
+    corr = np.zeros(n, np.uint32)
+    np.add.at(corr, ei, c)
+    pos = base + np.cumsum(corr, dtype=np.uint32)
+    start = pos - 1
+    stop = start + 1
+
+    ref_char = fixed[:, V2_REF_OFF]
+    alt_char = fixed[:, V2_ALT_OFF]
+    is_acgt = np.isin(alt_char, np.frombuffer(b"ACGT", dtype=np.uint8))
+    ref1 = (flags & V2F_REF1) != 0
+    alt1 = (flags & V2F_ALT1) != 0
+    snp_mask = ref1 & alt1 & is_acgt
+    well_formed = (flags & V2F_WELL_FORMED) != 0
+
+    cum = np.cumsum(run_counts.astype(np.int64))
+    rid = np.searchsorted(cum, np.arange(n, dtype=np.int64), side="right")
+    chrom_id = run_ids[np.clip(rid, 0, max(run_ids.shape[0] - 1, 0))]
+
+    gt = np.ascontiguousarray(gt, dtype=np.uint8)
+    a0 = gt & 3
+    a2 = (gt >> 2) & 3
+    sep = (gt >> V2G_SEP_SHIFT) & 3
+    has_gt = (gt & V2G_HAS_GT) != 0
+    sep_ok = (sep == V2G_SEP_PIPE) | (sep == V2G_SEP_SLASH)
+    diploid = has_gt & ((gt & V2G_DIPLOID) != 0) & sep_ok
+    missing = diploid & ((a0 == V2_GT_CLASS_MISSING) | (a2 == V2_GT_CLASS_MISSING))
+    phase1 = np.where(missing, 1, a0 != 0).astype(np.int8)
+    phase2 = np.where(missing, 0, a2 != 0).astype(np.int8)
+    phased = diploid & (sep == V2G_SEP_PIPE)
+    valid = well_formed[:, None] & diploid
+
+    return {
+        "start": start,
+        "stop": stop,
+        "ref_char": ref_char,
+        "alt_char": alt_char,
+        "ref_code": BASE_LUT[ref_char],
+        "alt_code": BASE_LUT[alt_char],
+        "ref1": ref1,
+        "alt1": alt1,
+        "snp_mask": snp_mask,
+        "well_formed": well_formed,
+        "chrom_id": chrom_id,
+        "phase1": phase1,
+        "phase2": phase2,
+        "phased": phased,
+        "missing": missing,
+        "valid": valid,
+    }
+
+
 def decode_frames12_numpy(
     frames: np.ndarray, with_sample: bool = True
 ) -> dict[str, np.ndarray]:

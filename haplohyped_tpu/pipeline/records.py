@@ -65,6 +65,50 @@ def snp_struct_from_frames(
     return snp_struct_from_decoded(decoded, chrom_bytes, with_sample)
 
 
+def snp_structs_from_v2(
+    decoded: dict[str, np.ndarray],
+    chrom_table: list[str],
+    samples: list[str],
+    chrom_filter: str | None = None,
+) -> dict[str, np.ndarray]:
+    """Per-donor SNP structs from ONE v2 decode (all samples at once).
+
+    ``decoded`` is the output of ``decode_frames_v2`` (host-side numpy);
+    phase/valid columns are ``(N, S)``.  The shared record columns (chrom,
+    start, stop, ref, alt) are materialized once; each donor's struct only
+    differs in its keep mask (per-sample ``valid``) and phase columns.
+    Replaces the reference's per-donor re-parse (``vcf_to_h5.py:142-152``).
+    """
+    snp = np.asarray(decoded["snp_mask"])
+    chrom_id = np.asarray(decoded["chrom_id"])
+    if chrom_filter is not None and chrom_table:
+        want = np.array([c == chrom_filter for c in chrom_table], dtype=bool)
+        snp = snp & want[chrom_id]
+    start = np.asarray(decoded["start"])
+    stop = np.asarray(decoded["stop"])
+    ref_char = np.asarray(decoded["ref_char"])
+    alt_char = np.asarray(decoded["alt_char"])
+    valid = np.asarray(decoded["valid"])
+    phase1 = np.asarray(decoded["phase1"])
+    phase2 = np.asarray(decoded["phase2"])
+    table_s5 = np.array(chrom_table if chrom_table else [""], dtype="S5")
+
+    out: dict[str, np.ndarray] = {}
+    for s, donor in enumerate(samples):
+        keep = snp & valid[:, s]
+        idx = np.nonzero(keep)[0]
+        st = np.empty(idx.shape[0], dtype=SNP_STRUCT_DTYPE)
+        st["chrom"] = table_s5[chrom_id[idx]] if chrom_table else b""
+        st["start"] = start[idx]
+        st["stop"] = stop[idx]
+        st["ref"] = np.ascontiguousarray(ref_char[idx]).view("S1").astype("S10")
+        st["alt"] = np.ascontiguousarray(alt_char[idx]).view("S1").astype("S10")
+        st["phase1"] = phase1[idx, s]
+        st["phase2"] = phase2[idx, s]
+        out[donor] = st
+    return out
+
+
 def snp_struct_from_frames12(
     decoded: dict[str, np.ndarray],
     chrom_table: list[str],

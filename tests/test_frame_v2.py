@@ -1,0 +1,348 @@
+"""v2 compact frame path: delta-encoded 5-byte fixed records + (N, S) GT
+matrix (cpp/hostio.cpp frame_range_v2 / frame_format.py V2_*).
+
+Round-2 wire format: half the single-sample bytes of the 12-byte layout and
+ALL samples extracted in one file pass (the reference re-reads per donor,
+reference src/haplohyped/vcf_to_h5.py:142-152).  Covers native/python framer
+parity, device-kernel/numpy-twin parity, POS-delta escape semantics (chunk
+starts, chrom changes, > 65535 gaps, backward/malformed POS), multi-thread
+part merging, indexed range decode (reference setRegion parity,
+cpp/vcfpp.h:1424-1453), and per-donor struct assembly.
+"""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from haplohyped_tpu.hostio import VCFSource, native_available
+from haplohyped_tpu.hostio.frame_format import (
+    V2F_POS_ESCAPE,
+    V2_FLAGS_OFF,
+    frame_v2_py,
+)
+from haplohyped_tpu.ops.vcf_decode import (
+    decode_frames12_numpy,
+    decode_frames_v2,
+    decode_frames_v2_numpy,
+    pad_v2_sides,
+)
+
+
+def corpus_samples(data_dir) -> list[str]:
+    with open(data_dir / "ipscs_samples_test.txt") as f:
+        return [line.strip() for line in f if line.strip()]
+
+
+def decode_v2_np(fv):
+    return decode_frames_v2_numpy(
+        fv.fixed, fv.gt, fv.exc_idx, fv.exc_pos, fv.run_counts, fv.run_ids
+    )
+
+
+EDGE_VCF = """##fileformat=VCFv4.2
+##contig=<ID=chr1,length=4000000000>
+##contig=<ID=chr2,length=1000000>
+##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">
+#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1\ts2
+chr1\t100\t.\tA\tG\t.\tPASS\t.\tGT\t0|1\t1|1
+chr1\t200\t.\tC\tT\t.\tPASS\t.\tGT\t./.\t0/1
+chr1\t300\t.\tG\tA,T\t.\tPASS\t.\tGT\t1|2\t0|0
+chr1\t400\t.\tGTC\tG\t.\tPASS\t.\tGT\t0|1\t1|0
+chr1\t500000\t.\tT\tA\t.\tPASS\t.\tGT\t1|1\t0|1
+chr1\t150\t.\tA\tC\t.\tPASS\t.\tGT\t0|1\t1|0
+chr1\tabc\t.\tA\tC\t.\tPASS\t.\tGT\t0|1\t1|0
+chr1\t99999999999\t.\tA\tC\t.\tPASS\t.\tGT\t0|1\t1|0
+chr1\t600000\t.\tA\tC\t.\tPASS\t.\tDP\t30\t12
+chr1\t600001\t.\tA\tC\t.\tPASS\t.\tGT\t1\t0
+chr2\t500\t.\tT\tC\t.\tPASS\t.\tGT:DP\t1/0:30\t0|1:12
+chr2\t501\t.\tA\tC\t.\tPASS\t.\tDP:GT\t7:1|1\t9:0|0
+"""
+
+
+@pytest.fixture
+def edge_vcf(tmp_path):
+    p = tmp_path / "edge.vcf"
+    p.write_text(EDGE_VCF)
+    return str(p)
+
+
+class TestFrameV2Corpus:
+    def test_single_sample_parity_vs_frame12(self, test_data_dir):
+        """v2 decode reproduces the 12-byte path bit-for-bit on the corpus."""
+        vcf = str(test_data_dir / "chr22.filtered.vcf.gz")
+        sample = corpus_samples(test_data_dir)[0]
+        src = VCFSource(vcf, threads=2)
+        rec12, chroms12, seen12 = src.frame12(sample=sample, region="chr22")
+        d12 = decode_frames12_numpy(rec12)
+        fv = src.frame_v2(samples=sample, region="chr22")
+        assert fv.n == rec12.shape[0]
+        assert fv.total_seen == seen12
+        assert fv.chroms == chroms12
+        assert fv.samples == [sample]
+        dv = decode_v2_np(fv)
+        np.testing.assert_array_equal(dv["start"], d12["start"])
+        np.testing.assert_array_equal(dv["snp_mask"], d12["snp_mask"])
+        np.testing.assert_array_equal(dv["phase1"][:, 0], d12["phase1"])
+        np.testing.assert_array_equal(dv["phase2"][:, 0], d12["phase2"])
+        np.testing.assert_array_equal(dv["valid"][:, 0], d12["valid"])
+        np.testing.assert_array_equal(dv["phased"][:, 0], d12["phased"])
+        np.testing.assert_array_equal(dv["missing"][:, 0], d12["missing"])
+        # wire cost: v2 single-sample is ~half the 12-byte layout
+        assert fv.wire_bytes() < rec12.nbytes * 0.6
+
+    def test_multi_sample_one_pass(self, test_data_dir):
+        """'*' extracts every donor's GT in one pass == per-donor passes."""
+        vcf = str(test_data_dir / "chr22.filtered.vcf.gz")
+        samples = corpus_samples(test_data_dir)
+        src = VCFSource(vcf, threads=2)
+        fv = src.frame_v2(samples="*", region="chr22")
+        assert fv.samples == samples
+        assert fv.n_samples == len(samples)
+        dv = decode_v2_np(fv)
+        for s, name in enumerate(samples):
+            rec12, _, _ = src.frame12(sample=name, region="chr22")
+            d12 = decode_frames12_numpy(rec12)
+            np.testing.assert_array_equal(dv["phase1"][:, s], d12["phase1"])
+            np.testing.assert_array_equal(dv["phase2"][:, s], d12["phase2"])
+            np.testing.assert_array_equal(dv["valid"][:, s], d12["valid"])
+
+    def test_python_fallback_matches_native(self, test_data_dir):
+        if not native_available():
+            pytest.skip("native hostio shim not built")
+        vcf = str(test_data_dir / "chr22.filtered.vcf.gz")
+        with gzip.open(vcf, "rb") as f:
+            text = f.read()
+        fn = VCFSource(vcf, threads=2).frame_v2(samples="*", region="chr22")
+        fp = frame_v2_py(text, ["*"], "chr22")
+        np.testing.assert_array_equal(fp.fixed, fn.fixed)
+        np.testing.assert_array_equal(fp.gt, fn.gt)
+        np.testing.assert_array_equal(fp.exc_idx, fn.exc_idx)
+        np.testing.assert_array_equal(fp.exc_pos, fn.exc_pos)
+        np.testing.assert_array_equal(fp.run_counts, fn.run_counts)
+        np.testing.assert_array_equal(fp.run_ids, fn.run_ids)
+        assert fp.chroms == fn.chroms
+        assert fp.samples == fn.samples
+        assert fp.total_seen == fn.total_seen
+
+    def test_device_kernel_matches_numpy(self, test_data_dir):
+        import jax
+
+        vcf = str(test_data_dir / "chr22.filtered.vcf.gz")
+        src = VCFSource(vcf, threads=2)
+        fv = src.frame_v2(samples="*")
+        dv = decode_v2_np(fv)
+        ei, ep, rc, ri = pad_v2_sides(fv)
+        dj = jax.device_get(decode_frames_v2(fv.fixed, fv.gt, ei, ep, rc, ri))
+        for k in dv:
+            np.testing.assert_array_equal(np.asarray(dj[k]), dv[k], err_msg=k)
+
+
+class TestFrameV2Edges:
+    def test_edge_semantics(self, edge_vcf):
+        """Escapes, gaps, chrom change, missing/haploid/absent GT, malformed
+        and overflowing POS — checked against hand-computed truth."""
+        fv = VCFSource(edge_vcf).frame_v2(samples=["s1", "s2"])
+        dv = decode_v2_np(fv)
+        # The FORMAT=DP (no GT) row at POS 600000 is dropped when samples are
+        # requested (native getGenotypes parity) -> 11 framed records:
+        # 100,200,300,400,500000,150,abc,9.9e10,600001, chr2:500,501
+        assert fv.n == 11
+        assert fv.total_seen == 12
+        assert fv.chroms == ["chr1", "chr2"]
+        starts = dv["start"]
+        np.testing.assert_array_equal(
+            starts[:6], [99, 199, 299, 399, 499999, 149]
+        )
+        # malformed / overflow POS: not well-formed; positions after them
+        # still reconstruct via escapes
+        assert not dv["well_formed"][6] and not dv["well_formed"][7]
+        assert starts[8] == 600000
+        assert starts[9] == 499 and starts[10] == 500
+        # escape flags: record 0 (first), 4 (gap 499600 > 65535), 5 (backward),
+        # 6/7 (malformed), 8 (after malformed chain break), 9 (chrom change)
+        esc = (fv.fixed[:, V2_FLAGS_OFF] & V2F_POS_ESCAPE) != 0
+        np.testing.assert_array_equal(
+            esc, [1, 0, 0, 0, 1, 1, 1, 1, 1, 1, 0]
+        )
+        # chrom ids via runs
+        np.testing.assert_array_equal(dv["chrom_id"], [0] * 9 + [1] * 2)
+        # SNP mask: multiallelic (A,T len 3 -> alt1 False) and indel fail
+        np.testing.assert_array_equal(
+            dv["snp_mask"][:6], [True, True, False, False, True, True]
+        )
+        # genotype semantics, s1: 0|1, ./. (missing -> 1,0), 1|2, 0|1, 1|1, 0|1
+        np.testing.assert_array_equal(
+            dv["phase1"][:6, 0], [0, 1, 1, 0, 1, 0]
+        )
+        np.testing.assert_array_equal(
+            dv["phase2"][:6, 0], [1, 0, 1, 1, 1, 1]
+        )
+        assert dv["missing"][1, 0] and not dv["missing"][1, 1]
+        # haploid "1" (len 1): has_gt but not diploid -> invalid
+        assert not dv["valid"][8].any()
+        # GT as second FORMAT subfield (DP:GT)
+        assert dv["phase1"][10, 0] == 1 and dv["phase2"][10, 0] == 1
+        assert dv["phase1"][10, 1] == 0 and dv["phase2"][10, 1] == 0
+
+    def test_no_gt_in_format_drops_record(self, tmp_path):
+        """Native framer parity: a FORMAT without GT drops the record when
+        samples are requested (vcfpp getGenotypes yields nothing)."""
+        p = tmp_path / "nogt.vcf"
+        p.write_text(
+            "##fileformat=VCFv4.2\n"
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1\n"
+            "chr1\t100\t.\tA\tG\t.\t.\t.\tDP\t30\n"
+            "chr1\t200\t.\tC\tT\t.\t.\t.\tGT\t0|1\n"
+        )
+        fv = VCFSource(str(p)).frame_v2(samples=["s1"])
+        assert fv.n == 1
+        assert decode_v2_np(fv)["start"][0] == 199
+        # without samples the DP-only record IS framed
+        fv0 = VCFSource(str(p)).frame_v2(samples=None)
+        assert fv0.n == 2 and fv0.n_samples == 0
+
+    def test_unknown_sample_raises(self, edge_vcf):
+        with pytest.raises(RuntimeError, match="sample not found"):
+            VCFSource(edge_vcf).frame_v2(samples=["nope"])
+
+    def test_py_edge_parity(self, edge_vcf):
+        if not native_available():
+            pytest.skip("native hostio shim not built")
+        with open(edge_vcf, "rb") as f:
+            text = f.read()
+        fn = VCFSource(edge_vcf).frame_v2(samples=["s1", "s2"])
+        fp = frame_v2_py(text, ["s1", "s2"], None)
+        np.testing.assert_array_equal(fp.fixed, fn.fixed)
+        np.testing.assert_array_equal(fp.gt, fn.gt)
+        np.testing.assert_array_equal(fp.exc_idx, fn.exc_idx)
+        np.testing.assert_array_equal(fp.exc_pos, fn.exc_pos)
+        np.testing.assert_array_equal(fp.run_counts, fn.run_counts)
+
+
+class TestFrameV2Threads:
+    def test_multithread_chunk_merge(self, tmp_path):
+        """Thread-chunked framing: every chunk start re-anchors the delta
+        chain; merged output equals the single-thread result."""
+        if not native_available():
+            pytest.skip("native hostio shim not built")
+        rng = np.random.default_rng(3)
+        n = 40_000  # ~3 MB text -> multiple thread chunks
+        pos = np.cumsum(rng.integers(1, 120_000, size=n)) + 1
+        rows = [
+            "##fileformat=VCFv4.2",
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1",
+        ]
+        gts = np.array(["0|0", "0|1", "1|0", "1|1", "./."])[
+            rng.integers(0, 5, size=n)
+        ]
+        rows += [
+            f"chr9\t{pos[i]}\t.\tA\tG\t.\tPASS\t.\tGT\t{gts[i]}" for i in range(n)
+        ]
+        p = tmp_path / "big.vcf"
+        p.write_text("\n".join(rows) + "\n")
+
+        fv1 = VCFSource(str(p), threads=1).frame_v2(samples=["s1"])
+        fv4 = VCFSource(str(p), threads=4).frame_v2(samples=["s1"])
+        assert fv4.exc_idx.shape[0] >= 3  # one re-anchor per extra chunk
+        d1, d4 = decode_v2_np(fv1), decode_v2_np(fv4)
+        np.testing.assert_array_equal(d4["start"], d1["start"])
+        np.testing.assert_array_equal(d4["start"], pos - 1)
+        np.testing.assert_array_equal(d4["phase1"], d1["phase1"])
+        np.testing.assert_array_equal(d4["chrom_id"], d1["chrom_id"])
+        assert int(fv4.run_counts.sum()) == n  # runs coalesced across parts
+
+
+class TestIndexedRange:
+    def _multichrom_bgzf(self, tmp_path) -> str:
+        from haplohyped_tpu.hostio.bgzf import bgzf_write
+
+        rng = np.random.default_rng(5)
+        rows = [
+            "##fileformat=VCFv4.2",
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1",
+        ]
+        for ci, chrom in enumerate(["chr1", "chr2", "chr3"]):
+            pos = np.cumsum(rng.integers(10, 500, size=20_000)) + 1
+            gts = np.array(["0|0", "0|1", "1|0", "1|1"])[
+                rng.integers(0, 4, size=20_000)
+            ]
+            rows += [
+                f"{chrom}\t{pos[i]}\t.\tA\tG\t.\tPASS\t.\tGT\t{gts[i]}"
+                for i in range(20_000)
+            ]
+        path = str(tmp_path / "multi.vcf.gz")
+        bgzf_write(path, ("\n".join(rows) + "\n").encode(), level=1)
+        return path
+
+    def test_region_decodes_block_subset(self, tmp_path):
+        """With a .tbi present, a chrom query inflates a strict subset of
+        BGZF blocks and matches the full-scan result bit-for-bit
+        (reference setRegion, cpp/vcfpp.h:1424-1453)."""
+        if not native_available():
+            pytest.skip("native hostio shim not built")
+        from haplohyped_tpu.hostio.native import BgzfRangeReader
+        from haplohyped_tpu.hostio.tabix import build_index
+
+        path = self._multichrom_bgzf(tmp_path)
+        n_blocks = BgzfRangeReader(path).n_blocks
+        full = VCFSource(path, threads=2).frame_v2(
+            samples=["s1"], region="chr2", use_index=False
+        )
+        assert full.blocks_decoded == -1  # full scan
+
+        build_index(path)
+        assert os.path.exists(path + ".tbi")
+        indexed = VCFSource(path, threads=2).frame_v2(
+            samples=["s1"], region="chr2"
+        )
+        assert 0 < indexed.blocks_decoded < n_blocks  # strict subset
+        assert indexed.n == full.n == 20_000
+        df, di = decode_v2_np(full), decode_v2_np(indexed)
+        np.testing.assert_array_equal(di["start"], df["start"])
+        np.testing.assert_array_equal(di["phase1"], df["phase1"])
+        np.testing.assert_array_equal(
+            di["chrom_id"], np.zeros(full.n, np.uint8)
+        )
+        assert indexed.chroms == ["chr2"]
+
+    def test_bounded_region_with_index(self, tmp_path):
+        if not native_available():
+            pytest.skip("native hostio shim not built")
+        from haplohyped_tpu.hostio.tabix import build_index
+
+        path = self._multichrom_bgzf(tmp_path)
+        build_index(path)
+        full = VCFSource(path, threads=2).frame_v2(
+            samples=["s1"], region="chr3:100000-200000", use_index=False
+        )
+        indexed = VCFSource(path, threads=2).frame_v2(
+            samples=["s1"], region="chr3:100000-200000"
+        )
+        assert indexed.n == full.n > 0
+        np.testing.assert_array_equal(
+            decode_v2_np(indexed)["start"], decode_v2_np(full)["start"]
+        )
+
+
+class TestStructAssembly:
+    def test_structs_match_frames12_path(self, test_data_dir):
+        from haplohyped_tpu.pipeline.records import (
+            snp_struct_from_frames12,
+            snp_structs_from_v2,
+        )
+
+        vcf = str(test_data_dir / "chr22.filtered.vcf.gz")
+        samples = corpus_samples(test_data_dir)
+        src = VCFSource(vcf, threads=2)
+        fv = src.frame_v2(samples="*", region="chr22")
+        structs = snp_structs_from_v2(
+            decode_v2_np(fv), fv.chroms, fv.samples, chrom_filter="chr22"
+        )
+        for name in samples:
+            rec12, chroms, _ = src.frame12(sample=name, region="chr22")
+            ref = snp_struct_from_frames12(
+                decode_frames12_numpy(rec12), chroms, chrom_filter="chr22"
+            )
+            np.testing.assert_array_equal(structs[name], ref)
