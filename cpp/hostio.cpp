@@ -942,20 +942,62 @@ extern "C" {
 void hh_free(void *p) { free(p); }
 
 /* Decompress a VCF (bgzf/gzip/plain) and return sample names, newline
- * joined.  Returns 0 on success. */
+ * joined.  BGZF files stop decompressing once the header is complete
+ * (header-only cost instead of a full file pass).  Returns 0 on success. */
 int hh_vcf_samples(const char *path, int threads, char **out, int64_t *n_samples,
                    char *errbuf, int errlen) {
     ErrBuf eb{errbuf, errlen};
     std::string err;
     std::vector<uint8_t> text;
-    if (!load_text(path, threads, text, err)) {
-        eb.set(err);
-        return 1;
-    }
     HeaderInfo hi;
-    if (!parse_header(text, hi, err)) {
-        eb.set(err);
-        return 1;
+    {
+        std::vector<uint8_t> raw;
+        bool header_done = false;
+        if (read_file(path, raw, err) && is_bgzf(raw)) {
+            std::vector<BgzfBlock> blocks;
+            size_t total = 0;
+            if (scan_bgzf_blocks(raw, blocks, total, err)) {
+                for (size_t i = 0; i < blocks.size(); i++) {
+                    const BgzfBlock &b = blocks[i];
+                    size_t old = text.size();
+                    text.resize(old + b.usize);
+                    if (b.usize) {
+                        size_t xlen =
+                            raw[b.coffset + 10] | (raw[b.coffset + 11] << 8);
+                        if (!inflate_raw_block(
+                                raw.data() + b.coffset + 12 + xlen,
+                                b.csize - (12 + xlen) - 8, text.data() + old,
+                                b.usize)) {
+                            eb.set("BGZF block decompression failed");
+                            return 1;
+                        }
+                    }
+                    hi = HeaderInfo();
+                    std::string herr;
+                    if (parse_header(text, hi, herr) &&
+                        hi.data_start <= text.size()) {
+                        header_done = true;
+                        break;
+                    }
+                }
+                if (!header_done) {
+                    eb.set("VCF has no #CHROM header line");
+                    return 1;
+                }
+            }
+        }
+        if (!header_done) {
+            text.clear();
+            if (!load_text(path, threads, text, err)) {
+                eb.set(err);
+                return 1;
+            }
+            hi = HeaderInfo();
+            if (!parse_header(text, hi, err)) {
+                eb.set(err);
+                return 1;
+            }
+        }
     }
     std::string joined;
     for (size_t i = 0; i < hi.samples.size(); i++) {

@@ -46,6 +46,12 @@ class ConvertConfig:
     #: tokenizer keeps ALL tab-scanning on the accelerator but ships the
     #: whole VCF text; the default compact-frame path ships 12 bytes/record.
     use_tokenizer: bool = False
+    #: single-pass cohort conversion (default): each chromosome's VCF is
+    #: decompressed/framed ONCE and every donor's genotype column extracted
+    #: from that one pass (v2 layout) — O(file) total host work instead of
+    #: the reference's O(donors x file) re-parse (``vcf_to_h5.py:142-152``).
+    #: Off = the donor-fan-out path (one parse per donor, reference shape).
+    single_pass: bool = True
 
     @property
     def tmp_dir(self) -> str:

@@ -108,6 +108,47 @@ class TaskResult:
     error: Exception | None = None
 
 
+def _pad_records_v2(fixed: np.ndarray, gt: np.ndarray, bucket_min: int = 4096):
+    """Pad the record axis to a power-of-two bucket so repeated chromosome
+    decodes reuse the jit cache (pad rows have zero flags -> valid False ->
+    dropped at struct assembly).  Returns (fixed_p, gt_p)."""
+    n = fixed.shape[0]
+    b = bucket_min
+    while b < n:
+        b *= 2
+    if b == n:
+        return fixed, gt
+    fp = np.zeros((b, fixed.shape[1]), np.uint8)
+    fp[:n] = fixed
+    gp = np.zeros((b, gt.shape[1]), np.uint8)
+    gp[:n] = gt
+    return fp, gp
+
+
+def _decode_v2(frame, device: bool) -> dict[str, np.ndarray]:
+    """Decode a FrameV2 (all samples at once) on device or host; pad rows
+    are sliced back off before returning."""
+    from haplohyped_tpu.ops.vcf_decode import (
+        decode_frames_v2,
+        decode_frames_v2_numpy,
+        pad_v2_sides,
+    )
+
+    n = frame.n
+    exc_idx, exc_pos, run_counts, run_ids = pad_v2_sides(frame)
+    if device and n > 0:
+        import jax
+
+        fixed, gt = _pad_records_v2(frame.fixed, frame.gt)
+        dec = decode_frames_v2(fixed, gt, exc_idx, exc_pos, run_counts, run_ids)
+        out = {k: np.asarray(v) for k, v in jax.device_get(dec).items()}
+    else:
+        out = decode_frames_v2_numpy(
+            frame.fixed, frame.gt, exc_idx, exc_pos, run_counts, run_ids
+        )
+    return {k: v[:n] for k, v in out.items()}
+
+
 def _decode12(frames12: np.ndarray) -> dict[str, np.ndarray]:
     """Device decode of compact frames -> host columns."""
     import jax
@@ -156,6 +197,7 @@ class VCFtoHDF5Converter:
         resume: bool = False,
         device_decode: bool = True,
         chromosomes=None,
+        single_pass: bool = True,
     ):
         cfg = ConvertConfig(
             cohort_name=cohort_name,
@@ -166,6 +208,7 @@ class VCFtoHDF5Converter:
             cxx_threads=cxx_threads,
             resume=resume,
             device_decode=device_decode,
+            single_pass=single_pass,
         )
         if chromosomes is not None:
             cfg = cfg.replace(chromosomes=tuple(chromosomes))
@@ -320,6 +363,108 @@ class VCFtoHDF5Converter:
             decoded = _decode(framed.records, False)
         return snp_struct_from_frames(framed.records, decoded), framed.n
 
+    def convert_chromosome(self, chromosome: int | str) -> List[TaskResult]:
+        """Single-pass unit: frame the chromosome's VCF ONCE (v2 layout),
+        extract EVERY donor's genotype column from that pass, decode on the
+        accelerator, and write all per-donor temp shards.
+
+        Replaces the reference's O(donors x file) loop
+        (``vcf_to_h5.py:142-152``: each donor re-opens and re-decompresses
+        the whole VCF) with O(file) host work per chromosome — wall clock is
+        ~flat in donor count.
+        """
+        import h5py
+
+        from haplohyped_tpu.hostio.bcf import is_bcf
+        from haplohyped_tpu.pipeline.records import snp_structs_from_v2
+
+        data_path = self.config.vcf_path(chromosome)
+        chrom_str = f"chr{chromosome}"
+        donors = [d for d in self.donor_ids if d]
+
+        t0 = time.time()
+        results: List[TaskResult] = []
+        todo = donors
+        if self.config.resume:
+            todo = [
+                d
+                for d in donors
+                if not os.path.exists(self.tmp_h5_path(d, chromosome))
+            ]
+            for d in donors:
+                if d not in todo:
+                    results.append(
+                        TaskResult(donor_id=d, chromosome=chromosome, skipped=True)
+                    )
+            if not todo:
+                return results
+
+        if is_bcf(data_path):
+            # BCF2 framing is per-sample; route through the donor fan-out
+            for d in todo:
+                results.append(self.genotype_vcf_to_hdf5(data_path, d, chromosome))
+            return results
+
+        src = VCFSource(data_path, threads=self.cxx_threads)
+        header_samples = set(src.samples())
+        missing = [d for d in todo if d not in header_samples]
+        for d in missing:
+            err = RuntimeError(f"sample not found in VCF header: {d}")
+            logger.error("donor %s chr%s: %s", d, chromosome, err)
+            results.append(
+                TaskResult(donor_id=d, chromosome=chromosome, error=err)
+            )
+        todo = [d for d in todo if d in header_samples]
+        if not todo:
+            return results
+
+        with GLOBAL_METRICS.timer("parse"):
+            frame = src.frame_v2(samples=todo, region=chrom_str)
+            use_device = self.config.device_decode and _device_transfer_healthy()
+            if use_device:
+                with _device_lock:
+                    decoded = _decode_v2(frame, True)
+            else:
+                decoded = _decode_v2(frame, False)
+            structs = snp_structs_from_v2(
+                decoded, frame.chroms, frame.samples, chrom_filter=chrom_str
+            )
+        GLOBAL_METRICS.count("records_seen", frame.total_seen)
+
+        per_donor_s = (time.time() - t0) / max(len(todo), 1)
+        with GLOBAL_METRICS.timer("h5_write"):
+            for d in todo:
+                res = TaskResult(
+                    donor_id=d,
+                    chromosome=chromosome,
+                    n_records=frame.total_seen,
+                    seconds=per_donor_s,
+                )
+                try:
+                    snp_struct = structs[d]
+                    res.n_snps = int(snp_struct.shape[0])
+                    GLOBAL_METRICS.count("snps", res.n_snps)
+                    tmp_h5_file = self.tmp_h5_path(d, chromosome)
+                    with h5py.File(tmp_h5_file, "w") as h5f:
+                        group = h5f.create_group(f"donor_{d}/chr_{chromosome}")
+                        group.create_dataset(
+                            SNP_DATASET_NAME,
+                            data=snp_struct,
+                            **cohort_compression_kwargs(),
+                        )
+                    GLOBAL_METRICS.count("h5_bytes", snp_struct.nbytes)
+                    logger.info(
+                        "Loaded %d SNPs for sample %s and chromosome %s",
+                        res.n_snps,
+                        d,
+                        chrom_str,
+                    )
+                except Exception as e:  # per-donor write isolation
+                    logger.error("donor %s chr%s write failed: %s", d, chromosome, e)
+                    res.error = e
+                results.append(res)
+        return results
+
     def process_donor(self, donor_id: str) -> List[TaskResult]:
         """All chromosomes for one donor (reference ``vcf_to_h5.py:142-152``)."""
         logger.info(f"Processing donor {donor_id}")
@@ -360,28 +505,64 @@ class VCFtoHDF5Converter:
         start_time = time.time()
         try:
             donor_ids = [d for d in self.donor_ids if d]
-            with ThreadPoolExecutor(max_workers=self.cores) as executor:
-                futures = {
-                    executor.submit(self.process_donor, d): d for d in donor_ids
-                }
-                failed = []
-                for fut in as_completed(futures):
-                    donor = futures[fut]
-                    try:
-                        self.results.extend(fut.result())
-                    except Exception as exc:
-                        # the reference silently dropped worker failures
-                        # (lazy executor.map); here every failed donor is
-                        # recorded and the rest of the cohort still converts
-                        logger.error("donor %s failed: %s", donor, exc)
-                        self.results.append(
-                            TaskResult(donor_id=donor, chromosome="*", error=exc)
+            if self.config.single_pass:
+                # fan out over CHROMOSOMES; each task frames its file once
+                # and emits every donor's shard (host framing of chrom k+1
+                # overlaps device decode of chrom k via the thread pool)
+                with ThreadPoolExecutor(max_workers=self.cores) as executor:
+                    futures = {
+                        executor.submit(self.convert_chromosome, c): c
+                        for c in self.chromosomes
+                    }
+                    failed = []
+                    for fut in as_completed(futures):
+                        chrom = futures[fut]
+                        try:
+                            self.results.extend(fut.result())
+                        except Exception as exc:
+                            logger.error("chromosome %s failed: %s", chrom, exc)
+                            self.results.append(
+                                TaskResult(
+                                    donor_id="*", chromosome=chrom, error=exc
+                                )
+                            )
+                            failed.append(chrom)
+                    if failed:
+                        logger.error(
+                            "%d/%d chromosomes failed: %s",
+                            len(failed),
+                            len(self.chromosomes),
+                            failed,
                         )
-                        failed.append(donor)
-                if failed:
-                    logger.error(
-                        "%d/%d donors failed: %s", len(failed), len(donor_ids), failed
-                    )
+            else:
+                with ThreadPoolExecutor(max_workers=self.cores) as executor:
+                    futures = {
+                        executor.submit(self.process_donor, d): d
+                        for d in donor_ids
+                    }
+                    failed = []
+                    for fut in as_completed(futures):
+                        donor = futures[fut]
+                        try:
+                            self.results.extend(fut.result())
+                        except Exception as exc:
+                            # the reference silently dropped worker failures
+                            # (lazy executor.map); here every failed donor is
+                            # recorded and the rest of the cohort converts
+                            logger.error("donor %s failed: %s", donor, exc)
+                            self.results.append(
+                                TaskResult(
+                                    donor_id=donor, chromosome="*", error=exc
+                                )
+                            )
+                            failed.append(donor)
+                    if failed:
+                        logger.error(
+                            "%d/%d donors failed: %s",
+                            len(failed),
+                            len(donor_ids),
+                            failed,
+                        )
 
             merge_start = time.time()
             self.merge_h5_files()
@@ -433,8 +614,15 @@ class VCFtoHDF5Converter:
     help="Comma-separated chromosome numbers, or 'auto' to use the "
     "chr{N}.filtered.vcf.gz files present in --vcf (default)",
 )
+@click.option(
+    "--single-pass/--per-donor",
+    "single_pass",
+    default=True,
+    help="Frame each chromosome's VCF once and extract every donor from "
+    "that pass (default), vs the reference's one-parse-per-donor shape",
+)
 def main(cohort_name, vcf, outdir, sample_list, cores, cxx_threads, resume,
-         device_decode, chromosomes):
+         device_decode, chromosomes, single_pass):
     """Convert a cohort of per-chromosome VCFs to a genotype HDF5."""
     logging.basicConfig(level=logging.INFO)
     if chromosomes == "auto":
@@ -462,6 +650,7 @@ def main(cohort_name, vcf, outdir, sample_list, cores, cxx_threads, resume,
         resume=resume,
         device_decode=device_decode,
         chromosomes=chrom_list,
+        single_pass=single_pass,
     )
     results = converter.run()
     n_err = sum(1 for r in results if r.error is not None)
