@@ -568,19 +568,19 @@ void frame_range_v2(const std::vector<uint8_t> &text, size_t lo, size_t hi,
         }
         out.total_seen++;
 
-        /* --- locate fields 0..8 in one pass ------------------------ */
+        /* --- locate fields 0..8 via memchr hops (SIMD tab scan) ----- */
         size_t fstart[9], flen[9];
-        size_t p = 0, start = 0;
+        size_t start = 0;
         int field = 0;
-        while (field < 9 && p <= len) {
-            if (p == len || line[p] == '\t') {
-                fstart[field] = start;
-                flen[field] = p - start;
-                field++;
-                start = p + 1;
-            }
-            if (p == len) break;
-            p++;
+        while (field < 9) {
+            const uint8_t *tab = start < len
+                ? (const uint8_t *)memchr(line + start, '\t', len - start)
+                : nullptr;
+            fstart[field] = start;
+            flen[field] = tab ? (size_t)(tab - line) - start : len - start;
+            field++;
+            if (!tab) break;
+            start = (size_t)(tab - line) + 1;
         }
         if (field < 8) {
             off = line_end + 1;

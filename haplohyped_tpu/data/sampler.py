@@ -4,9 +4,14 @@ The jit-compiled replacement for the reference's CPU
 ``RandomHaplotypeDataset`` + torch ``DataLoader`` path
 (``haplotype_dataset.py:30-114``; ``README.md:96-112``): PRNG-driven
 (region, donor, chromosome) draws, the midpoint window crop, and the fused
-gather/substitute/one-hot kernel all run on the accelerator; each call
-returns a ready ``(B, L, C)`` haplotype pair on device, so batches feed a
-training step with zero host involvement.
+gather/substitute kernel all run on the accelerator; each call returns a
+ready haplotype batch on device, so batches feed a training step with zero
+host involvement.
+
+Default output is ``(B, L)`` int8 base codes — the model stem one-hots them
+on the fly in compute dtype, so the 5-channel float expansion never touches
+HBM (20x less sampler output traffic).  ``emit_onehot=True`` restores
+materialized ``(B, L, C)`` one-hot batches for torch-parity consumers.
 
 Reference sampling semantics preserved: region, donor and chromosome indices
 are drawn *independently* (the region only supplies its position span —
@@ -35,8 +40,14 @@ from haplohyped_tpu.ops.haplotype_window import (
 
 
 class HaplotypeBatch(NamedTuple):
-    hap1: jax.Array  # (B, L, C) one-hot
-    hap2: jax.Array  # (B, L, C) one-hot
+    """One sampled batch.  In the default codes mode (``emit_onehot=False``)
+    ``hap1``/``hap2`` ARE the int8 code arrays (aliases of ``hap*_codes`` —
+    same device buffers, 20x less HBM traffic than float32 one-hot); the
+    model stem one-hots codes on the fly, so ``batch.hap1`` feeds training
+    unchanged in either mode."""
+
+    hap1: jax.Array  # (B, L, C) one-hot, or (B, L) int8 codes (codes mode)
+    hap2: jax.Array  # same form as hap1
     hap1_codes: jax.Array  # (B, L) int8
     hap2_codes: jax.Array  # (B, L) int8
     n_variants: jax.Array  # (B,) int32
@@ -44,7 +55,8 @@ class HaplotypeBatch(NamedTuple):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("L", "K", "B", "num_channels", "onehot_dtype")
+    jax.jit,
+    static_argnames=("L", "K", "B", "num_channels", "onehot_dtype", "emit_onehot"),
 )
 def _sample_batch(
     base_key,
@@ -65,6 +77,7 @@ def _sample_batch(
     B: int,
     num_channels: int,
     onehot_dtype,
+    emit_onehot: bool = False,
 ) -> HaplotypeBatch:
     key = jax.random.fold_in(base_key, step)
     kr, kd, kc = jax.random.split(key, 3)
@@ -97,8 +110,11 @@ def _sample_batch(
         L=L,
         K=K,
     )
-    hap1 = windows_to_onehot(win.hap1, num_channels, onehot_dtype)
-    hap2 = windows_to_onehot(win.hap2, num_channels, onehot_dtype)
+    if emit_onehot:
+        hap1 = windows_to_onehot(win.hap1, num_channels, onehot_dtype)
+        hap2 = windows_to_onehot(win.hap2, num_channels, onehot_dtype)
+    else:
+        hap1, hap2 = win.hap1, win.hap2  # aliases: zero extra HBM writes
     return HaplotypeBatch(
         hap1=hap1,
         hap2=hap2,
@@ -111,7 +127,9 @@ def _sample_batch(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("L", "K", "B", "num_channels", "onehot_dtype", "n_batches"),
+    static_argnames=(
+        "L", "K", "B", "num_channels", "onehot_dtype", "n_batches", "emit_onehot"
+    ),
 )
 def _sample_batches(
     base_key,
@@ -133,6 +151,7 @@ def _sample_batches(
     num_channels: int,
     onehot_dtype,
     n_batches: int,
+    emit_onehot: bool = False,
 ) -> HaplotypeBatch:
     """``n_batches`` sampling steps fused into ONE dispatch via lax.scan.
 
@@ -163,6 +182,7 @@ def _sample_batches(
             B=B,
             num_channels=num_channels,
             onehot_dtype=onehot_dtype,
+            emit_onehot=emit_onehot,
         )
         return carry, out
 
@@ -181,6 +201,7 @@ class DeviceHaplotypeSampler:
         config: SamplerConfig = SamplerConfig(),
         num_channels: int = 5,
         onehot_dtype=jnp.float32,
+        emit_onehot: bool = False,
     ):
         if genome.chrom_names != cohort.chrom_names:
             # re-order/subset the cohort chrom axis into the genome's index
@@ -209,6 +230,7 @@ class DeviceHaplotypeSampler:
         self.config = config
         self.num_channels = num_channels
         self.onehot_dtype = onehot_dtype
+        self.emit_onehot = emit_onehot
 
         self._genome_dev = genome.device_arrays()
         self._cohort_dev = cohort.device_arrays()
@@ -224,6 +246,7 @@ class DeviceHaplotypeSampler:
         reference_h5: str,
         samples_file: str | None = None,
         config: SamplerConfig = SamplerConfig(),
+        **kwargs,
     ) -> "DeviceHaplotypeSampler":
         donors = None
         if samples_file:
@@ -232,7 +255,7 @@ class DeviceHaplotypeSampler:
         genome = GenomeTensors.from_h5(reference_h5)
         cohort = CohortTensors.from_h5(cohort_h5, donors=donors, chrom_names=genome.chrom_names)
         _, spans, _ = load_bed_regions(bed_file)
-        return cls(genome, cohort, spans, config)
+        return cls(genome, cohort, spans, config, **kwargs)
 
     def sample(self, key: jax.Array | None = None) -> HaplotypeBatch:
         """Draw one batch; without an explicit key, advances an internal
@@ -265,6 +288,7 @@ class DeviceHaplotypeSampler:
             B=self.config.batch_size,
             num_channels=self.num_channels,
             onehot_dtype=self.onehot_dtype,
+            emit_onehot=self.emit_onehot,
         )
 
     def sample_many(self, n_batches: int, key: jax.Array | None = None) -> HaplotypeBatch:
@@ -297,6 +321,7 @@ class DeviceHaplotypeSampler:
             num_channels=self.num_channels,
             onehot_dtype=self.onehot_dtype,
             n_batches=n_batches,
+            emit_onehot=self.emit_onehot,
         )
 
     def __iter__(self):

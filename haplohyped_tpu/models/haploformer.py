@@ -46,9 +46,15 @@ class ConvStem(nn.Module):
     cfg: HaploFormerConfig
 
     @nn.compact
-    def __call__(self, x):  # (B, L, C)
+    def __call__(self, x):  # (B, L, C) one-hot OR (B, L) int codes
         c = self.cfg
         dt = c.compute_dtype
+        if x.ndim == 2:
+            # int8 base codes straight from the sampler: one-hot here in
+            # compute dtype so XLA fuses it into conv1 — the expansion never
+            # round-trips through HBM (20x less sampler output traffic than
+            # materializing float32 one-hot batches)
+            x = jax.nn.one_hot(x, c.num_channels, dtype=dt)
         x = x.astype(dt)
         x = nn.Conv(c.d_model // 2, (c.conv_width,), dtype=dt, name="conv1")(x)
         x = nn.gelu(x)
@@ -87,7 +93,9 @@ class HaploFormer(nn.Module):
 
     @nn.compact
     def __call__(self, hap1, hap2, deterministic: bool = True):
-        """hap1/hap2: (B, L, C) one-hot (any float dtype).
+        """hap1/hap2: (B, L) int base codes (preferred — one-hot fuses into
+        the stem conv) or (B, L, C) one-hot in any float dtype.  The same
+        parameters serve both input forms.
 
         Returns dict with:
           - ``pair_embedding``: (B, 2*d_model)

@@ -30,11 +30,17 @@ def loss_fn(params, model: HaploFormer, hap1, hap2, n_variants):
     # variant-count regression (labels come from the sampler for free)
     reg = jnp.mean((out["variant_count"] - n_variants.astype(jnp.float32)) ** 2)
     # self-supervised token head: predict the dominant base of each pooled
-    # window token of hap1 (cheap MLM-style signal; targets from the input)
+    # window token of hap1 (cheap MLM-style signal; targets from the input).
+    # Codes input (B, L): one-hot here — fused on device, never in HBM.
     cfg = model.cfg
-    B, L, C = hap1.shape
+    hap1_oh = (
+        hap1
+        if hap1.ndim == 3
+        else jax.nn.one_hot(hap1, cfg.num_channels, dtype=jnp.float32)
+    )
+    B, L, C = hap1_oh.shape
     T = out["base_logits"].shape[1]
-    pooled = hap1[:, : T * cfg.pool, :].reshape(B, T, cfg.pool, C).sum(axis=2)
+    pooled = hap1_oh[:, : T * cfg.pool, :].reshape(B, T, cfg.pool, C).sum(axis=2)
     targets = jnp.argmax(pooled, axis=-1)
     ce = optax.softmax_cross_entropy_with_integer_labels(
         out["base_logits"], targets
@@ -156,6 +162,7 @@ def make_fused_train_step(model: HaploFormer, tx, sampler, mesh: Mesh | None = N
             B=cfg.batch_size,
             num_channels=sampler.num_channels,
             onehot_dtype=sampler.onehot_dtype,
+            emit_onehot=sampler.emit_onehot,
         )
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, model, batch.hap1, batch.hap2, batch.n_variants

@@ -184,10 +184,32 @@ class TestDeviceSampler:
         )
 
     def test_batch_shapes(self, sampler):
+        """Default output is int8 codes (hap1 aliases hap1_codes — zero
+        extra HBM writes); emit_onehot=True restores (B, L, C) one-hot."""
         batch = sampler.sample()
-        assert batch.hap1.shape == (8, 512, 5)
+        assert batch.hap1.shape == (8, 512)
+        assert batch.hap1.dtype == np.int8
         assert batch.hap1_codes.shape == (8, 512)
+        assert np.array_equal(np.asarray(batch.hap1), np.asarray(batch.hap1_codes))
+
+    def test_onehot_mode(self, corpus, artifacts):
+        s = DeviceHaplotypeSampler.from_files(
+            bed_file=corpus["bed"],
+            cohort_h5=artifacts["cohort"],
+            reference_h5=artifacts["reference"],
+            samples_file=corpus["samples_file"],
+            config=SamplerConfig(
+                seq_length=512, batch_size=8, seed=0, max_variants_per_window=64
+            ),
+            emit_onehot=True,
+        )
+        batch = s.sample()
+        assert batch.hap1.shape == (8, 512, 5)
         assert np.array_equal(np.asarray(batch.hap1.sum(-1)), np.ones((8, 512)))
+        # one-hot is exactly the expansion of the codes
+        assert np.array_equal(
+            np.asarray(batch.hap1.argmax(-1)), np.asarray(batch.hap1_codes)
+        )
 
     def test_deterministic_under_key(self, sampler):
         import jax
@@ -213,7 +235,7 @@ class TestDeviceSampler:
         s_seq, s_fused = mk(), mk()
         seq = [s_seq.sample() for _ in range(4)]
         fused = s_fused.sample_many(4)
-        assert fused.hap1.shape == (4, 4, 256, 5)
+        assert fused.hap1.shape == (4, 4, 256)  # codes mode default
         for i, b in enumerate(seq):
             np.testing.assert_array_equal(
                 np.asarray(fused.hap1_codes[i]), np.asarray(b.hap1_codes)
@@ -401,3 +423,51 @@ class TestChromAxisAlignment:
             DeviceHaplotypeSampler(
                 genome, cohort, np.array([[0, 100]]), SamplerConfig(seq_length=64, batch_size=2)
             )
+
+
+class TestCodesOnehotEquivalence:
+    def test_model_identical_on_codes_and_onehot(self):
+        """The same HaploFormer parameters produce identical outputs whether
+        fed (B, L) int codes or their (B, L, C) one-hot expansion — the stem
+        one-hots codes in compute dtype, fusing the expansion into conv1
+        instead of materializing float32 batches in HBM."""
+        import jax
+        import jax.numpy as jnp
+
+        from haplohyped_tpu.models import HaploFormer, HaploFormerConfig
+
+        model = HaploFormer(HaploFormerConfig(d_model=32, num_heads=2, num_layers=1))
+        rng = jax.random.PRNGKey(0)
+        codes1 = jax.random.randint(jax.random.PRNGKey(1), (2, 128), 0, 5).astype(jnp.int8)
+        codes2 = jax.random.randint(jax.random.PRNGKey(2), (2, 128), 0, 5).astype(jnp.int8)
+        oh1 = jax.nn.one_hot(codes1, 5, dtype=jnp.float32)
+        oh2 = jax.nn.one_hot(codes2, 5, dtype=jnp.float32)
+        params = model.init(rng, codes1, codes2)["params"]
+        out_codes = model.apply({"params": params}, codes1, codes2)
+        out_onehot = model.apply({"params": params}, oh1, oh2)
+        for k in out_codes:
+            np.testing.assert_array_equal(
+                np.asarray(out_codes[k]), np.asarray(out_onehot[k]), err_msg=k
+            )
+
+    def test_loss_identical_on_codes_and_onehot(self):
+        import jax
+        import jax.numpy as jnp
+
+        from haplohyped_tpu.models import HaploFormer, HaploFormerConfig
+        from haplohyped_tpu.models.train import loss_fn
+
+        model = HaploFormer(HaploFormerConfig(d_model=32, num_heads=2, num_layers=1))
+        codes1 = jax.random.randint(jax.random.PRNGKey(1), (2, 128), 0, 5).astype(jnp.int8)
+        codes2 = jax.random.randint(jax.random.PRNGKey(2), (2, 128), 0, 5).astype(jnp.int8)
+        params = model.init(jax.random.PRNGKey(0), codes1, codes2)["params"]
+        nv = jnp.array([3.0, 4.0])
+        l1, _ = loss_fn(params, model, codes1, codes2, nv)
+        l2, _ = loss_fn(
+            params,
+            model,
+            jax.nn.one_hot(codes1, 5, dtype=jnp.float32),
+            jax.nn.one_hot(codes2, 5, dtype=jnp.float32),
+            nv,
+        )
+        assert float(l1) == float(l2)
