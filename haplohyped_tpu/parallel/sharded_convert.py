@@ -20,21 +20,37 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from haplohyped_tpu.core.constants import BASE_LUT
+from haplohyped_tpu.core.constants import BASE_LUT, SNP_STRUCT_DTYPE
 from haplohyped_tpu.data.cohort import INT32_MAX, CohortTensors
 
 logger = logging.getLogger(__name__)
 
+_EMPTY_STRUCT = np.zeros(0, dtype=SNP_STRUCT_DTYPE)
+
 
 @dataclass
 class ShardPlan:
-    """Round-robin task assignment over the data axis."""
+    """Contiguous-block task assignment over the data axis (block layout
+    matches a ``P('data')`` row sharding, so shard s's tasks are exactly the
+    rows its devices hold — each process parses only its own rows)."""
 
     tasks: list[tuple[str, str]]  # (donor, chrom_name), global order
     n_shards: int
 
+    @property
+    def t_pad(self) -> int:
+        return -(-len(self.tasks) // self.n_shards) * self.n_shards
+
+    @property
+    def rows_per_shard(self) -> int:
+        return self.t_pad // self.n_shards
+
+    def shard_rows(self, shard: int) -> range:
+        r = self.rows_per_shard
+        return range(shard * r, (shard + 1) * r)
+
     def shard_tasks(self, shard: int) -> list[tuple[str, str]]:
-        return self.tasks[shard :: self.n_shards]
+        return [self.tasks[i] for i in self.shard_rows(shard) if i < len(self.tasks)]
 
 
 def plan_shards(donors: list[str], chrom_names: list[str], n_shards: int) -> ShardPlan:
@@ -92,6 +108,19 @@ def _structs_to_task_tensors(structs: list[np.ndarray], vmax: int):
     return pos, ref, alt, p1, p2, cnt
 
 
+def _local_data_shards(mesh: Mesh) -> list[int]:
+    """Data-axis indices whose devices belong to THIS process (all of them
+    in a single-process run)."""
+    axis_idx = list(mesh.axis_names).index("data")
+    me = jax.process_index()
+    local = {
+        idx[axis_idx]
+        for idx, dev in np.ndenumerate(mesh.devices)
+        if dev.process_index == me
+    }
+    return sorted(local)
+
+
 def convert_sharded(
     vcf_path_for: dict[str, str],  # chrom_name -> vcf path
     donors: list[str],
@@ -102,34 +131,54 @@ def convert_sharded(
 ) -> CohortTensors:
     """Convert a cohort into device-resident tensors via the sharded plan.
 
-    Per-shard host parsing fans out on threads; the padded per-task tensors
-    are placed with a ``P('data')`` sharding and merged into replicated
-    global arrays by ``all_gather`` (XLA inserts the collective over ICI).
+    Genuinely multi-process: each process parses ONLY the (donor, chrom)
+    tasks whose ``P('data')`` rows live on its local devices, contributes
+    them with ``make_array_from_process_local_data``, and the replicating
+    jit inserts the all-gather (XLA collective over ICI on TPU slices,
+    Gloo between CPU test processes).  Single-process runs take the same
+    code path with every shard local.
     """
+    from jax.sharding import NamedSharding
+
     n_shards = mesh.shape["data"]
     plan = plan_shards(donors, chrom_names, n_shards)
+    local_shards = _local_data_shards(mesh)
+    my_rows = [i for s in local_shards for i in plan.shard_rows(s)]
+    my_tasks = [plan.tasks[i] if i < len(plan.tasks) else None for i in my_rows]
 
-    # host parse (in a multi-host run each process does only its shard)
+    # host parse: only this process's rows (None rows are padding)
+    def parse(t):
+        if t is None:
+            return _EMPTY_STRUCT
+        return _parse_task(vcf_path_for[t[1]], t[0], t[1], threads)
+
     with ThreadPoolExecutor(max_workers=host_workers) as ex:
-        structs = list(
-            ex.map(
-                lambda t: _parse_task(vcf_path_for[t[1]], t[0], t[1], threads),
-                plan.tasks,
-            )
+        structs = list(ex.map(parse, my_tasks))
+
+    # vmax must agree across processes: all-reduce the local max
+    vmax_local = max((s.shape[0] for s in structs), default=1)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        vmax_all = multihost_utils.process_allgather(
+            np.asarray([vmax_local], np.int32)
         )
-    vmax = max((s.shape[0] for s in structs), default=1)
-    vmax = -(-max(vmax, 1) // 128) * 128
+        vmax_local = int(np.max(vmax_all))
+    vmax = -(-max(vmax_local, 1) // 128) * 128
 
-    # pad task count to a multiple of the shard count
-    T = len(plan.tasks)
-    T_pad = -(-T // n_shards) * n_shards
-    structs = structs + [structs[0][:0]] * (T_pad - T)
     cols = _structs_to_task_tensors(structs, vmax)
+    sh = NamedSharding(mesh, P("data"))
+    T_pad = plan.t_pad
 
-    from haplohyped_tpu.parallel.collectives import all_gather_cohort
+    def merge(local_col: np.ndarray) -> np.ndarray:
+        gshape = (T_pad,) + local_col.shape[1:]
+        garr = jax.make_array_from_process_local_data(sh, local_col, gshape)
+        rep = jax.jit(
+            lambda x: x, out_shardings=NamedSharding(mesh, P())
+        )(garr)
+        return np.asarray(rep)
 
-    merged = [np.asarray(all_gather_cohort(c, mesh)) for c in cols]
-    pos, ref, alt, p1, p2, cnt = merged
+    pos, ref, alt, p1, p2, cnt = (merge(c) for c in cols)
 
     D, C = len(donors), len(chrom_names)
     out = CohortTensors(

@@ -1,0 +1,94 @@
+"""TRUE multi-process distributed conversion test (SURVEY §4 "multi-process
+simulation on CPU" — the reference has no multi-node testing of any kind).
+
+Spawns 2 OS processes, each with 2 virtual CPU devices, joined through
+``jax.distributed.initialize`` (coordinator on localhost, Gloo collectives).
+Each process parses only its own shard's (donor, chrom) tasks; the merged
+cohort tensor from the 2-process cluster must equal the single-process
+result bit-for-bit.  The same ``convert_sharded`` code path rides XLA/ICI
+collectives on a real TPU slice.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+WORKER = os.path.join(os.path.dirname(__file__), "mp_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _clean_env() -> dict:
+    env = dict(os.environ)
+    # the workers pin their own platform/device-count; drop the conftest's
+    for k in ("JAX_PLATFORMS", "XLA_FLAGS"):
+        env.pop(k, None)
+    return env
+
+
+def _run_cluster(
+    nprocs: int, data_dir: str, out_npz: str, timeout: float = 240.0
+) -> list[subprocess.CompletedProcess]:
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                WORKER,
+                str(port),
+                str(pid),
+                str(nprocs),
+                data_dir,
+                out_npz,
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            env=_clean_env(),
+        )
+        for pid in range(nprocs)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout)
+            outs.append((p.returncode, out.decode(errors="replace")))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for rc, out in outs:
+        assert rc == 0, f"worker failed (rc={rc}):\n{out}"
+    return outs
+
+
+@pytest.mark.integration
+def test_two_process_cluster_matches_single_process(test_data_dir, tmp_path):
+    data_dir = str(test_data_dir)
+    single = str(tmp_path / "single.npz")
+    multi = str(tmp_path / "multi.npz")
+
+    _run_cluster(1, data_dir, single)
+    _run_cluster(2, data_dir, multi)
+
+    a, b = np.load(single), np.load(multi)
+    for key in ("pos", "ref_code", "alt_code", "phase1", "phase2", "counts"):
+        np.testing.assert_array_equal(a[key], b[key], err_msg=key)
+    assert int(a["counts"].sum()) == 3000  # 3 donors x 1000 SNPs
+
+
+@pytest.mark.integration
+def test_two_process_counts_only(test_data_dir, tmp_path):
+    """Cheaper smoke: the 2-process cluster alone, sanity of counts."""
+    multi = str(tmp_path / "m.npz")
+    _run_cluster(2, str(test_data_dir), multi)
+    m = np.load(multi)
+    assert m["counts"].shape == (3, 1)
+    assert (m["counts"] == 1000).all()
