@@ -1411,6 +1411,75 @@ int hh_vcf_text(const char *path, int threads, uint8_t **text_out,
     return 0;
 }
 
+/*
+ * Decompress a VCF and return text + per-data-line structure for the
+ * columnar analysis surface (hostio/variants.py VariantTable): line
+ * offsets/lengths, the positions of each line's first 9 tabs (int32,
+ * relative to line start; clipped to line length when fewer), and the
+ * parsed POS value (0 when malformed / > 12 digits).  One threaded pass
+ * over the decompressed text — the Python side does no per-record work.
+ */
+int hh_vcf_index(const char *path, int threads, uint8_t **text_out,
+                 int64_t *text_len, int64_t **line_off_out,
+                 int32_t **line_len_out, int64_t *n_lines,
+                 int32_t **bounds_out, int64_t **pos_out, char **samples_out,
+                 char *errbuf, int errlen) {
+    ErrBuf eb{errbuf, errlen};
+    /* reuse hh_vcf_text for decompress + line indexing + samples */
+    int rc = hh_vcf_text(path, threads, text_out, text_len, line_off_out,
+                         line_len_out, n_lines, samples_out, errbuf, errlen);
+    if (rc != 0) return rc;
+    const uint8_t *text = *text_out;
+    const int64_t *offs = *line_off_out;
+    const int32_t *lens = *line_len_out;
+    int64_t n = *n_lines;
+
+    int32_t *bounds = (int32_t *)malloc((size_t)n * 9 * 4 + 1);
+    int64_t *pos = (int64_t *)malloc((size_t)n * 8 + 1);
+    if (!bounds || !pos) {
+        free(bounds);
+        free(pos);
+        eb.set("out of memory");
+        return 1;
+    }
+    int nthreads = threads > 0 ? threads : 1;
+    auto worker = [&](int t) {
+        int64_t lo = n * t / nthreads, hi = n * (t + 1) / nthreads;
+        for (int64_t i = lo; i < hi; i++) {
+            const uint8_t *line = text + offs[i];
+            int32_t len = lens[i];
+            int32_t *b = bounds + i * 9;
+            int32_t p = 0;
+            for (int k = 0; k < 9; k++) {
+                const uint8_t *tab = p < len
+                    ? (const uint8_t *)memchr(line + p, '\t', (size_t)(len - p))
+                    : nullptr;
+                b[k] = tab ? (int32_t)(tab - line) : len;
+                p = b[k] + 1;
+            }
+            /* POS: digits between tab0 and tab1 */
+            int64_t v = 0;
+            int32_t s = b[0] + 1, e = b[1];
+            bool ok = e > s && e - s <= 12;
+            for (int32_t j = s; ok && j < e; j++) {
+                uint8_t c = line[j];
+                if (c < '0' || c > '9') { ok = false; break; }
+                v = v * 10 + (c - '0');
+            }
+            pos[i] = ok ? v : 0;
+        }
+    };
+    {
+        std::vector<std::thread> pool;
+        for (int t = 1; t < nthreads; t++) pool.emplace_back(worker, t);
+        worker(0);
+        for (auto &th : pool) th.join();
+    }
+    *bounds_out = bounds;
+    *pos_out = pos;
+    return 0;
+}
+
 /* ------------------------------------------------------------------ */
 /* Streaming BGZF range decoder                                        */
 /*                                                                     */

@@ -90,6 +90,20 @@ def _load() -> ctypes.CDLL | None:
                     ctypes.c_char_p,
                     ctypes.c_int,
                 ]
+                lib.hh_vcf_index.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_void_p),  # text
+                    ctypes.POINTER(ctypes.c_int64),  # text_len
+                    ctypes.POINTER(ctypes.c_void_p),  # line_off
+                    ctypes.POINTER(ctypes.c_void_p),  # line_len
+                    ctypes.POINTER(ctypes.c_int64),  # n_lines
+                    ctypes.POINTER(ctypes.c_void_p),  # bounds
+                    ctypes.POINTER(ctypes.c_void_p),  # pos
+                    ctypes.POINTER(ctypes.c_void_p),  # samples
+                    ctypes.c_char_p,
+                    ctypes.c_int,
+                ]
                 lib.hh_bgzf_open.argtypes = [
                     ctypes.c_char_p,
                     ctypes.POINTER(ctypes.c_int64),
@@ -457,6 +471,80 @@ def vcf_text(path: str, threads: int = 1) -> VCFText:
         lens,
         samples,
         _frees=[text_p.value, off_p.value, len_p.value],
+    )
+
+
+class VCFIndex(VCFText):
+    """VCFText plus per-line tab bounds (n, 9) int32 (relative to line
+    start) and parsed POS (n,) int64 — the zero-Python-work backing of
+    ``hostio.variants.VariantTable``.  Arrays are views over native
+    memory; keep this object alive while using them."""
+
+    def __init__(self, text, line_offsets, line_lengths, samples, bounds, pos, _frees):
+        super().__init__(text, line_offsets, line_lengths, samples, _frees)
+        self.bounds: np.ndarray = bounds  # (n, 9) int32
+        self.pos: np.ndarray = pos  # (n,) int64
+
+    def close(self):
+        super().close()
+        self.bounds = self.pos = None
+
+
+def vcf_index(path: str, threads: int = 1) -> VCFIndex:
+    """Native decompress + line/tab/POS indexing in one threaded pass."""
+    lib = _load()
+    assert lib is not None
+    text_p = ctypes.c_void_p()
+    text_len = ctypes.c_int64()
+    off_p, len_p = ctypes.c_void_p(), ctypes.c_void_p()
+    n_lines = ctypes.c_int64()
+    bounds_p, pos_p, samples_p = ctypes.c_void_p(), ctypes.c_void_p(), ctypes.c_void_p()
+    err = ctypes.create_string_buffer(512)
+    _count_decompress()
+    rc = lib.hh_vcf_index(
+        path.encode(),
+        threads,
+        ctypes.byref(text_p),
+        ctypes.byref(text_len),
+        ctypes.byref(off_p),
+        ctypes.byref(len_p),
+        ctypes.byref(n_lines),
+        ctypes.byref(bounds_p),
+        ctypes.byref(pos_p),
+        ctypes.byref(samples_p),
+        err,
+        512,
+    )
+    if rc != 0:
+        raise RuntimeError(err.value.decode() or f"hh_vcf_index failed ({rc})")
+    n = int(n_lines.value)
+    t = int(text_len.value)
+    text = np.ctypeslib.as_array(
+        ctypes.cast(text_p, ctypes.POINTER(ctypes.c_uint8)), shape=(t,)
+    )
+    offs = np.ctypeslib.as_array(
+        ctypes.cast(off_p, ctypes.POINTER(ctypes.c_int64)), shape=(n,)
+    )
+    lens = np.ctypeslib.as_array(
+        ctypes.cast(len_p, ctypes.POINTER(ctypes.c_int32)), shape=(n,)
+    )
+    bounds = np.ctypeslib.as_array(
+        ctypes.cast(bounds_p, ctypes.POINTER(ctypes.c_int32)), shape=(n, 9)
+    )
+    pos = np.ctypeslib.as_array(
+        ctypes.cast(pos_p, ctypes.POINTER(ctypes.c_int64)), shape=(n,)
+    )
+    raw_samples = ctypes.string_at(samples_p)
+    samples = raw_samples.decode().split("\n") if raw_samples else []
+    lib.hh_free(samples_p)
+    return VCFIndex(
+        text,
+        offs,
+        lens,
+        samples,
+        bounds,
+        pos,
+        _frees=[text_p.value, off_p.value, len_p.value, bounds_p.value, pos_p.value],
     )
 
 

@@ -135,3 +135,40 @@ def test_snp_mask_matches_pipeline(tmp_path_factory):
     dec = decode_frames_numpy(fr.records, with_sample=False)
     np.testing.assert_array_equal(t.is_snp(), dec["snp_mask"])
     np.testing.assert_array_equal(t.start, dec["start"])
+
+
+def test_vectorized_construction_scale(tmp_path):
+    """Construction is vectorized (native index pass + array ops): 200K
+    records build in well under a second of per-record-Python-free work,
+    and the object conveniences stay lazy until touched."""
+    import time
+
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    n = 200_000
+    pos = np.cumsum(rng.integers(5, 50, size=n)) + 1
+    bases = np.array(list("ACGT"))
+    refs = bases[rng.integers(0, 4, n)]
+    alts = bases[(np.searchsorted(bases, refs) + rng.integers(1, 4, n)) % 4]
+    rows = ["##fileformat=VCFv4.2",
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1"]
+    rows += [
+        f"chr1\t{pos[i]}\trs{i}\t{refs[i]}\t{alts[i]}\t.\tPASS\t.\tGT\t0|1"
+        for i in range(n)
+    ]
+    p = tmp_path / "big.vcf"
+    p.write_text("\n".join(rows) + "\n")
+
+    t0 = time.time()
+    t = VariantTable.from_vcf(str(p))
+    built = time.time() - t0
+    assert t.n == n
+    assert "id" not in t._cache and "info" not in t._cache  # lazy
+    np.testing.assert_array_equal(t.pos, pos)
+    assert t.is_snp().all()
+    assert not t.is_indel().any()
+    assert built < 5.0, f"vectorized construction took {built:.2f}s for {n} records"
+    # lazy columns materialize correctly on first touch
+    assert t.id[123] == "rs123"
+    assert t.ref[0] == refs[0]
