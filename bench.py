@@ -40,6 +40,14 @@ import numpy as np
 
 BASELINE_VARIANTS_PER_SEC = 559_390
 BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_data")
+# Persistent XLA compilation cache: kernel compiles survive across worker
+# subprocesses and bench runs (a cold decode-kernel compile on a degraded
+# relay was measured at 93s — cache-warm it once, never pay again).  Must
+# be set before the first jax import anywhere in this process.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
 N_VARIANTS = int(os.environ.get("HH_BENCH_VARIANTS", 2_000_000))
 N_SAMPLES = 3
 WG_VARIANTS = int(os.environ.get("HH_BENCH_WG_VARIANTS", 3_000_000))
@@ -50,18 +58,42 @@ def log(msg: str) -> None:
 
 
 def device_health(timeout_s: float = 20.0, retries: int = 2) -> tuple[bool, bool]:
-    """Probe device execute and device->host transfer on a daemon thread
-    (relayed TPUs can wedge on either; a hung probe must not hang bench).
+    """Probe device execute (in-process) and device->host transfer (in a
+    SUBPROCESS).  Returns ``(exec_ok, d2h_ok)``.
 
-    Returns ``(exec_ok, d2h_ok)``.  A device that cannot even execute is
-    useless for this bench — the caller should fall back to the CPU
-    platform.  A device that executes but wedges on d2h can still run the
-    block_until_ready-only stages (``with_d2h=False``)."""
+    The d2h probe must not run in this process: on a relayed TPU a wedged
+    device_get hangs its thread while holding client state, and every
+    subsequent transfer in the process degrades (round-2 runs measured the
+    8ms upload+decode path at 235-540ms after an in-process probe wedged).
+    A killed subprocess leaves the relay clean for the next client."""
+    import subprocess
     import threading
 
+    # --- d2h probe first, before this process initializes any backend ---
+    d2h_ok = False
+    try:
+        rc = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import jax, numpy as np;"
+                "x = jax.jit(lambda a: a * 2)(jax.numpy.arange(16));"
+                "assert int(np.asarray(jax.device_get(x))[1]) == 2",
+            ],
+            timeout=timeout_s,
+            capture_output=True,
+            env=dict(os.environ),
+        ).returncode
+        d2h_ok = rc == 0
+    except subprocess.TimeoutExpired:
+        pass
+    if not d2h_ok:
+        log("WARNING: device->host transfer unhealthy; skipping d2h-dependent stages")
+
+    # --- exec probe (no d2h anywhere on this path) -----------------------
     exec_seen = False
     for attempt in range(retries):
-        state = {"exec": False, "d2h": False}
+        state = {"exec": False}
 
         def probe():
             try:
@@ -71,7 +103,6 @@ def device_health(timeout_s: float = 20.0, retries: int = 2) -> tuple[bool, bool
                 x = jnp.arange(16) * 2
                 jax.block_until_ready(x)
                 state["exec"] = True
-                state["d2h"] = int(np.asarray(jax.device_get(x))[1]) == 2
             except Exception as exc:
                 log(f"device probe exception: {exc}")
 
@@ -79,19 +110,14 @@ def device_health(timeout_s: float = 20.0, retries: int = 2) -> tuple[bool, bool
         th.start()
         th.join(timeout=timeout_s)
         exec_seen = exec_seen or state["exec"]
-        if state["exec"] and state["d2h"]:
-            return True, True
-        log(
-            f"device probe attempt {attempt + 1}/{retries}: "
-            f"exec={state['exec']} d2h={state['d2h']}"
-        )
+        if state["exec"]:
+            break
+        log(f"device exec probe attempt {attempt + 1}/{retries}: failed")
         if attempt < retries - 1:
             time.sleep(5)
     if not exec_seen:
         log("WARNING: device cannot execute; caller should fall back to CPU")
-    elif not state["d2h"]:
-        log("WARNING: device->host transfer unhealthy; skipping d2h-dependent stages")
-    return exec_seen, state["d2h"]
+    return exec_seen, d2h_ok
 
 
 def bgzf_write(path: str, text: bytes, level: int = 1) -> None:
@@ -257,15 +283,26 @@ def bench_parse_encode(
     # the pipelined stage wedges
     _PARTIAL.setdefault("value", round(n / staged))
 
-    # --- pipelined steady state: producer thread frames task k+1 while
-    # the device uploads+decodes task k ---------------------------------
-    rounds = 5
-    q: queue.Queue = queue.Queue(maxsize=1)
+    # --- pipelined steady state: producer thread frames task k+1 AND
+    # starts its upload while the device decodes task k (3-stage overlap:
+    # frame / h2d / decode — the converter's behavior across chromosome
+    # tasks).  Each frame call yields fresh buffers; one byte is mutated
+    # per task so a caching relay must re-ship and re-execute. -----------
+    from haplohyped_tpu.ops.vcf_decode import decode_frames_v2, pad_v2_sides
+
+    rounds = 7
+    q: queue.Queue = queue.Queue(maxsize=2)
 
     def producer():
         for k in range(rounds):
             fr = native.vcf_frame_v2(vcf, sample, None, threads=threads)
-            q.put((fr, k))
+            fr.fixed[(k + 100) % fr.n, 2] ^= 1  # content differs per task
+            ei, ep, rcnt, rid = pad_v2_sides(fr)
+            bufs = [
+                jax.device_put(a, dev)
+                for a in (fr.fixed, fr.gt, ei, ep, rcnt, rid)
+            ]
+            q.put(bufs)
         q.put(None)
 
     t0 = time.time()
@@ -276,8 +313,7 @@ def bench_parse_encode(
         item = q.get()
         if item is None:
             break
-        fr, k = item
-        outs.append(_upload_decode_v2(fr, dev, k + 100))
+        outs.append(decode_frames_v2(*item))
     jax.block_until_ready(outs)
     th.join()
     pipe = (time.time() - t0) / rounds
@@ -736,6 +772,18 @@ def orchestrate() -> None:
     _emit(result)
 
 
+def _jax_cache_config() -> None:
+    """Enable the persistent compilation cache for every compile (the env
+    var JAX_COMPILATION_CACHE_DIR is set at module import, before jax)."""
+    import jax
+
+    try:
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception as exc:
+        log(f"compilation cache config unavailable: {exc}")
+
+
 def main() -> None:
     if os.environ.get("JAX_PLATFORMS") == "cpu":
         # some images pre-import jax pinned to an accelerator platform via
@@ -744,7 +792,11 @@ def main() -> None:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    threads = os.cpu_count() or 1
+    _jax_cache_config()
+    # 2x oversubscription hides chunk imbalance + page-fault stalls in the
+    # native framer (measured: 0.252s at 4 threads vs 0.317s at 2 on a
+    # 2-core host)
+    threads = max(4, 2 * (os.cpu_count() or 1))
     vcf, sample = ensure_corpus()
     budget = float(os.environ.get("HH_BENCH_BUDGET_S", 480))
     # 0.8x: the orchestrator hands each worker a budget equal to its own

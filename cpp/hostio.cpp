@@ -533,8 +533,14 @@ void frame_range_v2(const std::vector<uint8_t> &text, size_t lo, size_t hi,
                     const Region &region, const std::vector<int> &col_to_slot,
                     int n_slots, V2Part &out) {
     const size_t S = (size_t)n_slots;
-    out.fixed.reserve((hi - lo) / 80 * kV2Fixed);
-    out.gts.reserve((hi - lo) / 80 * (S ? S : 1));
+    /* lines average ~50 bytes; reserve generously to avoid regrowth copies */
+    out.fixed.reserve((hi - lo) / 40 * kV2Fixed);
+    out.gts.reserve((hi - lo) / 40 * (S ? S : 1));
+    /* last sample column anyone wants: the GT walk can stop there instead
+     * of memchr-hopping every remaining column of wide cohort lines */
+    int max_col = -1;
+    for (size_t i = 0; i < col_to_slot.size(); i++)
+        if (col_to_slot[i] >= 0) max_col = (int)i;
     std::vector<uint8_t> gt_row(S, 0);
     int64_t prev_pos = -1; /* -1 = next record must escape */
     int last_chrom = -1;
@@ -650,7 +656,8 @@ void frame_range_v2(const std::vector<uint8_t> &text, size_t lo, size_t hi,
             std::fill(gt_row.begin(), gt_row.end(), (uint8_t)0);
             size_t sp = start; /* start of field 9 */
             size_t col = 0;
-            const size_t n_cols = col_to_slot.size();
+            const size_t n_cols =
+                max_col >= 0 ? (size_t)max_col + 1 : col_to_slot.size();
             while (col < n_cols && sp <= len) {
                 const uint8_t *tab =
                     (const uint8_t *)memchr(line + sp, '\t', len - sp);

@@ -356,9 +356,13 @@ def vcf_frame_v2(
         def take(p, dtype, count, itemsize):
             if count == 0:
                 return np.zeros(count, dtype)
-            return np.frombuffer(
-                ctypes.string_at(p, count * itemsize), dtype=dtype
-            ).copy()
+            # single copy out of the malloc'd buffer (string_at would
+            # materialize an intermediate bytes object first)
+            view = np.ctypeslib.as_array(
+                ctypes.cast(p, ctypes.POINTER(ctypes.c_ubyte)),
+                shape=(count * itemsize,),
+            )
+            return view.view(dtype).copy()
 
         fixed = take(fixed_p, np.uint8, nn * V2_FIXED_SIZE, 1).reshape(
             nn, V2_FIXED_SIZE

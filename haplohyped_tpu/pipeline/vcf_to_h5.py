@@ -53,47 +53,72 @@ _device_lock = threading.Lock()
 _d2h_ok: bool | None = None
 
 
+_probe_proc = None
+_probe_t0: float | None = None
+
+
+def _start_d2h_probe() -> None:
+    """Launch the d2h health probe subprocess without waiting on it.
+
+    Call early (pipeline start) so the probe's jax bring-up overlaps host
+    framing work; :func:`_device_transfer_healthy` joins it later.
+    """
+    global _probe_proc, _probe_t0
+    import subprocess
+    import sys as _sys
+
+    with _device_lock:
+        if _probe_proc is not None or _d2h_ok is not None:
+            return
+        _probe_proc = subprocess.Popen(
+            [
+                _sys.executable,
+                "-c",
+                "import jax, numpy as np;"
+                "x = jax.jit(lambda a: a * 2)(jax.numpy.arange(16));"
+                "assert int(np.asarray(jax.device_get(x))[1]) == 2",
+            ],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+            env=dict(os.environ),
+        )
+        _probe_t0 = time.time()
+
+
 def _device_transfer_healthy(timeout_s: float = 20.0) -> bool:
-    """Probe device->host transfer once per process.
+    """Probe device->host transfer once per process, in a SUBPROCESS.
 
     Remote/tunneled accelerators can wedge on d2h while executing fine; the
     converter's decode output must come back to the host for HDF5 writing,
     so if the probe stalls we fall back to the numpy decoder instead of
     hanging the pipeline.  (Directly-attached TPUs always pass.)
+
+    The probe must not run in this process: a wedged device_get hangs its
+    thread while holding client state, degrading every later transfer here
+    (and the hung thread aborts the C++ runtime at interpreter teardown).
+    A killed subprocess leaves both this process and the relay clean.
     """
-    global _d2h_ok
+    global _d2h_ok, _probe_proc
+    import subprocess
+
+    _start_d2h_probe()
     with _device_lock:
         if _d2h_ok is not None:
             return _d2h_ok
-
-        result: list[bool] = []
-
-        def probe() -> None:
-            try:
-                import jax
-                import jax.numpy as jnp
-
-                x = jnp.arange(16) * 2
-                jax.block_until_ready(x)
-                result.append(int(np.asarray(jax.device_get(x))[1]) == 2)
-            except Exception as exc:  # noqa: BLE001
-                logger.warning("device probe failed (%s)", exc)
-                result.append(False)
-
-        # daemon thread: if the transfer wedges, the thread must not block
-        # process exit
-        th = threading.Thread(target=probe, daemon=True)
-        th.start()
-        th.join(timeout=timeout_s)
-        if th.is_alive():
+        assert _probe_proc is not None and _probe_t0 is not None
+        remaining = max(0.5, timeout_s - (time.time() - _probe_t0))
+        try:
+            _d2h_ok = _probe_proc.wait(timeout=remaining) == 0
+        except subprocess.TimeoutExpired:
+            _probe_proc.kill()
+            _d2h_ok = False
+        _probe_proc = None
+        if not _d2h_ok:
             logger.warning(
-                "device->host transfer probe stalled (>%.0fs); "
+                "device->host transfer probe failed/stalled (>%.0fs); "
                 "falling back to host decode",
                 timeout_s,
             )
-            _d2h_ok = False
-        else:
-            _d2h_ok = bool(result and result[0])
         return _d2h_ok
 
 
@@ -503,6 +528,8 @@ class VCFtoHDF5Converter:
 
     def run(self, cleanup: bool = True) -> List[TaskResult]:
         start_time = time.time()
+        # overlap the d2h health probe's jax bring-up with host framing
+        _start_d2h_probe()
         try:
             donor_ids = [d for d in self.donor_ids if d]
             if self.config.single_pass:
