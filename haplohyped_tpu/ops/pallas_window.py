@@ -1,0 +1,383 @@
+"""Pallas fused haplotype-window kernel.
+
+The TPU production path for the on-device sampler's window encode
+(reference semantics: ``haplotype_dataset.py:86-110`` — reference-genome
+window with per-phase ALT substitution at in-window variant positions).
+
+Why Pallas here: the XLA lowering of this op is gather-bound — on a v5e
+chip EVERY batched gather (window bytes, variant chunk, substitution
+codes) costs a near-fixed ~0.4-0.8 ms per dispatch regardless of element
+count, so the jnp kernels plateau around 2.5 ms per 64-window batch.
+This kernel replaces every gather with explicit, tile-aligned HBM->VMEM
+DMAs.  Mosaic's alignment rules shape the whole design: 2-D layouts
+everywhere (last dims a (8k, 128) tile), DMA sublane offsets that are
+provable multiples of 8 (so the coarse-search stride is one 1024-word
+tile), per-window scratch buffers (VMEM row slices don't lower), and
+in-VMEM residual shifts via ``pltpu.roll`` (dynamic rotates).  The
+genome is viewed as int32 words; substitution runs in word space over
+four byte planes, and the final word->byte unpack + 0..3 byte shift
+happens outside the kernel in XLA (pure elementwise).
+
+Outputs are bit-equal to :func:`haplohyped_tpu.ops.haplotype_window.
+encode_haplotype_windows` (pinned by interpret-mode parity tests).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from haplohyped_tpu.ops.haplotype_window import HaplotypeWindows
+
+#: windows per Pallas program — DMAs for all W windows are issued together
+#: so their latencies overlap; compute is vectorized VPU work
+W_PER_PROG = 8
+
+#: coarse-search stride — one (8, 128) int32 tile, so chunk DMA sublane
+#: offsets lo0/128 = bucket*8 are provably 8-aligned
+SP = 1024
+
+#: chunk length in words (two strides; [lo, lo+K) always inside)
+CHUNK = 2 * SP
+CH_R = CHUNK // 128  # chunk rows
+
+#: max supported window length in bytes
+L_MAX = 4080
+
+
+def _out_words(L: int) -> int:
+    """Output word-window length: covers L bytes + 3 shift bytes, rounded
+    to a 128-word (full-lane) multiple."""
+    return -(-(L + 4) // 512) * 128
+
+
+def _gwin(L: int) -> int:
+    """Genome scratch words: one SP tile of slack + the output window,
+    rounded to an SP multiple (8-sublane-aligned rows for dynamic_rotate)."""
+    return -(-(SP + _out_words(L) + 128) // SP) * SP
+
+
+class PallasWindowIndex(NamedTuple):
+    """Device tensors for :func:`encode_windows_pallas` (build once)."""
+
+    genome_words: jax.Array  # (Gr, 128) int32 — genome bytes packed LE
+    vp_pad: jax.Array  # (DC, Vr, 128) int32 — positions, INT32_MAX padded
+    sub_pad: jax.Array  # (DC, Vr, 128) int32 — sub1 | sub2 << 8, 0 padded
+    grid: jax.Array  # (DC, Vg) int32 — positions[::SP]
+    counts: jax.Array  # (DC,) int32
+
+
+def build_pallas_window_index(
+    genome_flat: np.ndarray,
+    var_pos: np.ndarray,  # (D, C, V) int32, INT32_MAX padded past counts
+    var_ref: np.ndarray,
+    var_alt: np.ndarray,
+    var_p1: np.ndarray,
+    var_p2: np.ndarray,
+    var_counts: np.ndarray,  # (D, C) int32
+) -> PallasWindowIndex:
+    """Host-side precompute for the Pallas window kernel."""
+    imax = np.iinfo(np.int32).max
+    g = np.asarray(genome_flat, dtype=np.int8)
+    # pad so the word window [blk*SP, blk*SP + GWIN) always exists
+    pad_words = _gwin(L_MAX) + SP
+    pad = (-g.size) % 4 + pad_words * 4
+    g = np.concatenate([g, np.zeros(pad, np.int8)])
+    words = g.view("<i4")
+    words = words[: words.size // 128 * 128].reshape(-1, 128)
+    D, C, V = var_pos.shape
+    # pad V so chunks [lo0, lo0+CHUNK) always exist (lo0 <= ceil(V/SP)*SP)
+    Vp = -(-V // SP) * SP + CHUNK
+    vp = np.full((D * C, Vp), imax, np.int32)
+    vp[:, :V] = var_pos.reshape(D * C, V)
+    sub1 = np.where(var_p1 == 1, var_alt, var_ref).astype(np.int32)
+    sub2 = np.where(var_p2 == 1, var_alt, var_ref).astype(np.int32)
+    sub = np.zeros((D * C, Vp), np.int32)
+    sub[:, :V] = ((sub1 & 0xFF) | (sub2 << 8)).reshape(D * C, V)
+    grid = np.ascontiguousarray(vp[:, :V][:, ::SP])
+    return PallasWindowIndex(
+        genome_words=jnp.asarray(np.ascontiguousarray(words)),
+        vp_pad=jnp.asarray(vp.reshape(D * C, Vp // 128, 128)),
+        sub_pad=jnp.asarray(sub.reshape(D * C, Vp // 128, 128)),
+        grid=jnp.asarray(grid),
+        counts=jnp.asarray(var_counts.reshape(D * C).astype(np.int32)),
+    )
+
+
+def _flat_take(x: jax.Array, shift: jax.Array, out_rows: int) -> jax.Array:
+    """Read ``out_rows * 128`` consecutive elements starting at dynamic
+    flat offset ``shift`` from an (R, 128) row-major block, via dynamic
+    sublane + lane rolls and a lane select.  Caller guarantees
+    ``shift + out_rows * 128 <= R * 128``."""
+    R = x.shape[0]
+    lr = shift % 128
+    sr = shift // 128
+    a = pltpu.roll(x, (R - sr) % R, axis=0)  # rows left-shifted by sr
+    b = pltpu.roll(x, (R - sr - 1) % R, axis=0)
+    ar = pltpu.roll(a, (128 - lr) % 128, axis=1)  # lanes left-shifted by lr
+    br = pltpu.roll(b, (128 - lr) % 128, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    y = jnp.where(lane < 128 - lr, ar, br)
+    return y[:out_rows]
+
+
+def _window_kernel(
+    # scalar prefetch (SMEM)
+    flat_start_ref,  # (B,) int32 — genome byte offset per window
+    start_ref,  # (B,) int32 — window start within chrom
+    row_ref,  # (B,) int32 — donor*C + chrom row id
+    count_ref,  # (B,) int32 — valid variants in that row
+    lo0_ref,  # (B,) int32 — SP-aligned chunk base for the lo search
+    hi0_ref,  # (B,) int32 — SP-aligned chunk base for the hi search
+    # inputs (HBM)
+    genome_hbm,  # (Gr, 128) int32
+    vp_hbm,  # (DC, Vr, 128) int32
+    sub_hbm,  # (DC, Vr, 128) int32
+    # outputs (VMEM blocks)
+    hap1_ref,  # (W, OUT_W) int32 — word-space windows
+    hap2_ref,  # (W, OUT_W) int32
+    nvar_ref,  # (1, 8, 128) int32 — lanes [:W] of row 0
+    ovf_ref,  # (1, 8, 128) int32
+    # scratch: W genome + W chlo + W chhi + W sub buffers, then sems
+    *scr,
+    L: int,
+    K: int,
+    OUT_W: int,
+    GWIN: int,
+):
+    g = pl.program_id(0)
+    W = W_PER_PROG
+    win_scr = scr[0:W]  # each (GWIN//128, 128)
+    chlo_scr = scr[W : 2 * W]  # each (CH_R, 128)
+    chhi_scr = scr[2 * W : 3 * W]
+    sub_scr = scr[3 * W : 4 * W]
+    sems = scr[4 * W]
+
+    # --- issue every DMA up front (latencies overlap) --------------------
+    for i in range(W):
+        b = g * W + i
+        blk8 = ((flat_start_ref[b] >> 2) // SP) * 8
+        base = pl.multiple_of(blk8, 8)
+        pltpu.make_async_copy(
+            genome_hbm.at[pl.ds(base, GWIN // 128), :],
+            win_scr[i],
+            sems.at[0, i],
+        ).start()
+        row = row_ref[b]
+        lo8 = pl.multiple_of((lo0_ref[b] // 128) // 8 * 8, 8)
+        hi8 = pl.multiple_of((hi0_ref[b] // 128) // 8 * 8, 8)
+        pltpu.make_async_copy(
+            vp_hbm.at[row, pl.ds(lo8, CH_R), :], chlo_scr[i], sems.at[1, i]
+        ).start()
+        pltpu.make_async_copy(
+            vp_hbm.at[row, pl.ds(hi8, CH_R), :], chhi_scr[i], sems.at[2, i]
+        ).start()
+        pltpu.make_async_copy(
+            sub_hbm.at[row, pl.ds(lo8, CH_R), :], sub_scr[i], sems.at[3, i]
+        ).start()
+
+    for i in range(W):
+        row = row_ref[g * W + i]
+        pltpu.make_async_copy(
+            genome_hbm.at[pl.ds(0, GWIN // 128), :], win_scr[i], sems.at[0, i]
+        ).wait()
+        pltpu.make_async_copy(
+            vp_hbm.at[row, pl.ds(0, CH_R), :], chlo_scr[i], sems.at[1, i]
+        ).wait()
+        pltpu.make_async_copy(
+            vp_hbm.at[row, pl.ds(0, CH_R), :], chhi_scr[i], sems.at[2, i]
+        ).wait()
+        pltpu.make_async_copy(
+            sub_hbm.at[row, pl.ds(0, CH_R), :], sub_scr[i], sems.at[3, i]
+        ).wait()
+
+    # --- per-window compute ----------------------------------------------
+    acc_n = []
+    acc_o = []
+    acc_h1 = []
+    acc_h2 = []
+    for i in range(W):
+        b = g * W + i
+        s = start_ref[b]
+        fs = flat_start_ref[b]
+        count = count_ref[b]
+        lo0 = lo0_ref[b]
+        hi0 = hi0_ref[b]
+
+        ch_lo = chlo_scr[i][...]
+        ch_hi = chhi_scr[i][...]
+        lo = lo0 + jnp.sum((ch_lo < s).astype(jnp.int32))
+        hi = hi0 + jnp.sum((ch_hi < s + L).astype(jnp.int32))
+        n_in = jnp.maximum(jnp.minimum(hi, count) - jnp.minimum(lo, count), 0)
+        n_apply = jnp.minimum(n_in, K)
+        acc_n.append(n_in)
+        acc_o.append(jnp.maximum(n_in - K, 0))
+
+        # K applied variants: flat-roll the chunks to offset lo - lo0
+        delta = lo - lo0
+        pos_k = _flat_take(ch_lo, delta, 1)  # (1, 128) int32
+        sub_k = _flat_take(sub_scr[i][...], delta, 1)
+
+        # genome word window [fs>>2, +OUT_W); the residual byte shift
+        # r4 = fs & 3 is applied OUTSIDE in XLA after byte unpack
+        dg = (fs >> 2) - ((fs >> 2) // SP) * SP
+        words = _flat_take(win_scr[i][...], dg, OUT_W // 128).reshape(
+            1, OUT_W
+        )
+
+        # substitution in word space: byte j of the window buffer is
+        # pos_buf = (fs & 3) + (pos - s); word pos_buf>>2, plane pos_buf&3
+        lane_k = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        applied = lane_k < n_apply
+        pos_buf = jnp.where(applied, (fs & 3) + pos_k - s, -1)  # (1, 128)
+        word_idx = pos_buf >> 2
+        plane = pos_buf & 3
+        prio = jnp.where(applied, lane_k + 1, 0)  # distinct per k
+
+        out_word = jax.lax.broadcasted_iota(jnp.int32, (128, OUT_W), 1)
+        h1 = words
+        h2 = words
+        wcol = jnp.broadcast_to(word_idx.reshape(128, 1), (128, OUT_W))
+        pcol = jnp.broadcast_to(plane.reshape(128, 1), (128, OUT_W))
+        kcol = jnp.broadcast_to(prio.reshape(128, 1), (128, OUT_W))
+        c1col = jnp.broadcast_to((sub_k & 0xFF).reshape(128, 1), (128, OUT_W))
+        c2col = jnp.broadcast_to((sub_k >> 8).reshape(128, 1), (128, OUT_W))
+        for p in range(4):
+            m = (wcol == out_word) & (pcol == p) & (kcol > 0)
+            kb = jnp.max(jnp.where(m, kcol, 0), axis=0)[None, :]  # (1, OUT_W)
+            win = m & (kcol == jnp.broadcast_to(kb, (128, OUT_W)))
+            c1 = jnp.max(jnp.where(win, c1col, 0), axis=0)[None, :]
+            c2 = jnp.max(jnp.where(win, c2col, 0), axis=0)[None, :]
+            has = kb > 0
+            mask = jnp.int32(0xFF) << (8 * p)
+            h1 = jnp.where(has, (h1 & ~mask) | (c1 << (8 * p)), h1)
+            h2 = jnp.where(has, (h2 & ~mask) | (c2 << (8 * p)), h2)
+        acc_h1.append(h1[0])
+        acc_h2.append(h2[0])
+
+    hap1_ref[...] = jnp.stack(acc_h1)
+    hap2_ref[...] = jnp.stack(acc_h2)
+    zpad = jnp.zeros((128 - W,), jnp.int32)
+    nvar_ref[...] = jnp.broadcast_to(
+        jnp.concatenate([jnp.stack(acc_n), zpad]), (1, 8, 128)
+    )
+    ovf_ref[...] = jnp.broadcast_to(
+        jnp.concatenate([jnp.stack(acc_o), zpad]), (1, 8, 128)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("L", "K", "interpret"))
+def encode_windows_pallas(
+    index: PallasWindowIndex,
+    chrom_offsets: jax.Array,  # (C,) int32
+    donor_idx: jax.Array,  # (B,) int32
+    chrom_idx: jax.Array,  # (B,) int32
+    start: jax.Array,  # (B,) int32
+    *,
+    L: int,
+    K: int,
+    interpret: bool = False,
+) -> HaplotypeWindows:
+    """Bit-equal Pallas twin of ``encode_haplotype_windows`` (TPU path)."""
+    B = start.shape[0]
+    if B % W_PER_PROG:
+        raise ValueError(f"batch size must be a multiple of {W_PER_PROG}")
+    if K > 128:
+        raise ValueError("K > 128 exceeds the kernel's chunk padding")
+    if L > L_MAX:
+        raise ValueError(f"L > {L_MAX} exceeds the genome word window")
+    DC = index.vp_pad.shape[0]
+    C = chrom_offsets.shape[0]
+    OUT_W = _out_words(L)
+    GWIN = _gwin(L)
+
+    # tiny-table selects (C, DC small): no XLA gathers on the hot path
+    c_iota = jnp.arange(C, dtype=jnp.int32)
+    off_sel = jnp.sum(
+        jnp.where(chrom_idx[:, None] == c_iota[None, :], chrom_offsets[None, :], 0),
+        axis=1,
+    )
+    row = (donor_idx * C + chrom_idx).astype(jnp.int32)
+    dc_iota = jnp.arange(DC, dtype=jnp.int32)
+    row_onehot = row[:, None] == dc_iota[None, :]  # (B, DC)
+    count_sel = jnp.sum(jnp.where(row_onehot, index.counts[None, :], 0), axis=1)
+    # coarse grid rows via one-hot select: elementwise, no gather
+    g_sel = jnp.sum(
+        jnp.where(row_onehot[:, :, None], index.grid[None, :, :], 0), axis=1
+    )  # (B, Vg)
+    blo = jnp.sum((g_sel < start[:, None]).astype(jnp.int32), axis=1)
+    bhi = jnp.sum((g_sel < (start + L)[:, None]).astype(jnp.int32), axis=1)
+    lo0 = jnp.maximum(blo - 1, 0) * SP
+    hi0 = jnp.maximum(bhi - 1, 0) * SP
+    flat_start = (off_sel + start).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(B // W_PER_PROG,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # genome words
+            pl.BlockSpec(memory_space=pltpu.ANY),  # vp
+            pl.BlockSpec(memory_space=pltpu.ANY),  # sub
+        ],
+        out_specs=[
+            pl.BlockSpec((W_PER_PROG, OUT_W), lambda g, *_: (g, 0)),
+            pl.BlockSpec((W_PER_PROG, OUT_W), lambda g, *_: (g, 0)),
+            pl.BlockSpec((1, 8, 128), lambda g, *_: (g, 0, 0)),
+            pl.BlockSpec((1, 8, 128), lambda g, *_: (g, 0, 0)),
+        ],
+        scratch_shapes=(
+            [pltpu.VMEM((GWIN // 128, 128), jnp.int32)] * W_PER_PROG
+            + [pltpu.VMEM((CH_R, 128), jnp.int32)] * (3 * W_PER_PROG)
+            + [pltpu.SemaphoreType.DMA((4, W_PER_PROG))]
+        ),
+    )
+    kernel = functools.partial(_window_kernel, L=L, K=K, OUT_W=OUT_W, GWIN=GWIN)
+    hap1w, hap2w, nvar, ovf = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, OUT_W), jnp.int32),
+            jax.ShapeDtypeStruct((B, OUT_W), jnp.int32),
+            jax.ShapeDtypeStruct((B // W_PER_PROG, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((B // W_PER_PROG, 8, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        flat_start,
+        start.astype(jnp.int32),
+        row,
+        count_sel.astype(jnp.int32),
+        lo0.astype(jnp.int32),
+        hi0.astype(jnp.int32),
+        index.genome_words,
+        index.vp_pad,
+        index.sub_pad,
+    )
+
+    # word -> byte unpack + residual 0..3 byte shift (pure elementwise)
+    def unpack(w):
+        sh = jnp.stack([(w >> k) & 0xFF for k in (0, 8, 16, 24)], axis=-1)
+        by = sh.astype(jnp.int8).reshape(B, OUT_W * 4)
+        r4 = (flat_start & 3)[:, None]
+        return jnp.where(
+            r4 == 0,
+            by[:, 0:L],
+            jnp.where(
+                r4 == 1,
+                by[:, 1 : 1 + L],
+                jnp.where(r4 == 2, by[:, 2 : 2 + L], by[:, 3 : 3 + L]),
+            ),
+        )
+
+    return HaplotypeWindows(
+        hap1=unpack(hap1w),
+        hap2=unpack(hap2w),
+        n_variants=nvar[:, 0, :W_PER_PROG].reshape(B),
+        overflow=ovf[:, 0, :W_PER_PROG].reshape(B),
+    )
