@@ -533,9 +533,13 @@ void frame_range_v2(const std::vector<uint8_t> &text, size_t lo, size_t hi,
                     const Region &region, const std::vector<int> &col_to_slot,
                     int n_slots, V2Part &out) {
     const size_t S = (size_t)n_slots;
-    /* lines average ~50 bytes; reserve generously to avoid regrowth copies */
-    out.fixed.reserve((hi - lo) / 40 * kV2Fixed);
-    out.gts.reserve((hi - lo) / 40 * (S ? S : 1));
+    /* Reserve to avoid regrowth copies. Lines average ~50 bytes on narrow
+     * cohorts, but wide-cohort lines are ~4*S bytes, so (hi-lo)/40*S wildly
+     * overshoots (and can bad_alloc) at large S.  Each emitted GT byte
+     * consumes >= 2 input bytes ("0|" at minimum), so (hi-lo)/2 is a hard
+     * output bound; take the smaller estimate. */
+    out.fixed.reserve(std::min((hi - lo) / 40 * kV2Fixed, (hi - lo)));
+    out.gts.reserve(std::min((hi - lo) / 40 * (S ? S : 1), (hi - lo) / 2 + 1));
     /* last sample column anyone wants: the GT walk can stop there instead
      * of memchr-hopping every remaining column of wide cohort lines */
     int max_col = -1;

@@ -2,6 +2,7 @@
  * Header-only (inline), namespace hh; used by hostio.cpp and bcf.cpp. */
 #pragma once
 
+#include <algorithm>
 #include <atomic>
 #include <cstdint>
 #include <cstdio>

@@ -120,6 +120,11 @@ class SamplerConfig:
     #: static cap on variants applied per window (jit-friendly upper bound);
     #: windows with more in-window SNPs are truncated (counted in stats).
     max_variants_per_window: int = 128
+    #: window-encode kernel: "baseline" (jnp gather/select), "fast" (word
+    #: gather + two-level search), or "pallas" (explicit-DMA TPU kernel).
+    #: All three are bit-equal (tests/test_window_kernels.py); the default
+    #: is the bench winner on a v5e chip (bench.py window_kernels stage).
+    window_kernel: str = "fast"
 
 
 def chrom_list(chromosomes: Sequence[int | str]) -> list[str]:

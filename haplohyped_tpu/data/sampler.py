@@ -34,7 +34,9 @@ from haplohyped_tpu.data.cohort import CohortTensors
 from haplohyped_tpu.data.genome import GenomeTensors
 from haplohyped_tpu.data.regions import load_bed_regions
 from haplohyped_tpu.ops.haplotype_window import (
+    build_window_index,
     encode_haplotype_windows,
+    encode_haplotype_windows_fast,
     windows_to_onehot,
 )
 
@@ -54,36 +56,61 @@ class HaplotypeBatch(NamedTuple):
     overflow: jax.Array  # (B,) int32
 
 
+def _encode_windows(kernel, enc, donor_idx, chrom_idx, start, L, K, interpret):
+    """Dispatch to the selected bit-equal window kernel.  ``enc`` is the
+    kernel-specific operand tuple built by :meth:`DeviceHaplotypeSampler.
+    _build_enc_args` (a pytree, so it traces through jit/scan)."""
+    if kernel == "baseline":
+        (genome_flat, chrom_offsets, pos, ref, alt, p1, p2, counts) = enc
+        return encode_haplotype_windows(
+            genome_flat, chrom_offsets, pos, ref, alt, p1, p2, counts,
+            donor_idx, chrom_idx, start, L=L, K=K,
+        )
+    if kernel == "fast":
+        (genome_words, chrom_offsets, pos, sub12, grid, counts) = enc
+        return encode_haplotype_windows_fast(
+            genome_words, chrom_offsets, pos, sub12, grid, counts,
+            donor_idx, chrom_idx, start, L=L, K=K,
+        )
+    if kernel == "pallas":
+        from haplohyped_tpu.ops.pallas_window import encode_windows_pallas
+
+        pidx, chrom_offsets = enc
+        return encode_windows_pallas(
+            pidx, chrom_offsets, donor_idx, chrom_idx, start,
+            L=L, K=K, interpret=interpret,
+        )
+    raise ValueError(f"unknown window kernel: {kernel!r}")
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("L", "K", "B", "num_channels", "onehot_dtype", "emit_onehot"),
+    static_argnames=(
+        "L", "K", "B", "D", "num_channels", "onehot_dtype", "emit_onehot",
+        "kernel", "interpret",
+    ),
 )
 def _sample_batch(
     base_key,
     step,
-    genome_flat,
-    chrom_offsets,
     chrom_lengths,
     region_spans,  # (R, 2) int32
-    var_pos,
-    var_ref,
-    var_alt,
-    var_p1,
-    var_p2,
-    var_counts,
+    enc,  # kernel-specific operand pytree
     *,
     L: int,
     K: int,
     B: int,
+    D: int,
     num_channels: int,
     onehot_dtype,
     emit_onehot: bool = False,
+    kernel: str = "baseline",
+    interpret: bool = False,
 ) -> HaplotypeBatch:
     key = jax.random.fold_in(base_key, step)
     kr, kd, kc = jax.random.split(key, 3)
     R = region_spans.shape[0]
-    D = var_pos.shape[0]
-    C = chrom_offsets.shape[0]
+    C = chrom_lengths.shape[0]
     region_idx = jax.random.randint(kr, (B,), 0, R)
     donor_idx = jax.random.randint(kd, (B,), 0, D)
     chrom_idx = jax.random.randint(kc, (B,), 0, C)
@@ -95,20 +122,8 @@ def _sample_batch(
     limit = jnp.maximum(chrom_lengths[chrom_idx] - L, 0)
     start = jnp.minimum(new_start, limit).astype(jnp.int32)
 
-    win = encode_haplotype_windows(
-        genome_flat,
-        chrom_offsets,
-        var_pos,
-        var_ref,
-        var_alt,
-        var_p1,
-        var_p2,
-        var_counts,
-        donor_idx,
-        chrom_idx,
-        start,
-        L=L,
-        K=K,
+    win = _encode_windows(
+        kernel, enc, donor_idx, chrom_idx, start, L, K, interpret
     )
     if emit_onehot:
         hap1 = windows_to_onehot(win.hap1, num_channels, onehot_dtype)
@@ -128,30 +143,27 @@ def _sample_batch(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "L", "K", "B", "num_channels", "onehot_dtype", "n_batches", "emit_onehot"
+        "L", "K", "B", "D", "num_channels", "onehot_dtype", "n_batches",
+        "emit_onehot", "kernel", "interpret",
     ),
 )
 def _sample_batches(
     base_key,
     step0,
-    genome_flat,
-    chrom_offsets,
     chrom_lengths,
     region_spans,
-    var_pos,
-    var_ref,
-    var_alt,
-    var_p1,
-    var_p2,
-    var_counts,
+    enc,
     *,
     L: int,
     K: int,
     B: int,
+    D: int,
     num_channels: int,
     onehot_dtype,
     n_batches: int,
     emit_onehot: bool = False,
+    kernel: str = "baseline",
+    interpret: bool = False,
 ) -> HaplotypeBatch:
     """``n_batches`` sampling steps fused into ONE dispatch via lax.scan.
 
@@ -167,22 +179,18 @@ def _sample_batches(
         out = _sample_batch(
             base_key,
             step0 + i,
-            genome_flat,
-            chrom_offsets,
             chrom_lengths,
             region_spans,
-            var_pos,
-            var_ref,
-            var_alt,
-            var_p1,
-            var_p2,
-            var_counts,
+            enc,
             L=L,
             K=K,
             B=B,
+            D=D,
             num_channels=num_channels,
             onehot_dtype=onehot_dtype,
             emit_onehot=emit_onehot,
+            kernel=kernel,
+            interpret=interpret,
         )
         return carry, out
 
@@ -231,12 +239,41 @@ class DeviceHaplotypeSampler:
         self.num_channels = num_channels
         self.onehot_dtype = onehot_dtype
         self.emit_onehot = emit_onehot
+        self.kernel = config.window_kernel
+        # Pallas lowers on TPU only; CPU (tests) runs it in interpret mode
+        self._interpret = (
+            self.kernel == "pallas" and jax.default_backend() != "tpu"
+        )
 
         self._genome_dev = genome.device_arrays()
         self._cohort_dev = cohort.device_arrays()
+        self._enc = self._build_enc_args()
         self._regions_dev = jnp.asarray(region_spans.astype(np.int32))
         self._base_key = jax.random.PRNGKey(config.seed)
         self._step = 0
+
+    def _build_enc_args(self):
+        """Kernel-specific operand pytree (built once; device-resident)."""
+        flat, offsets, _lengths = self._genome_dev
+        pos, ref, alt, p1, p2, counts = self._cohort_dev
+        if self.kernel == "baseline":
+            return (flat, offsets, pos, ref, alt, p1, p2, counts)
+        if self.kernel == "fast":
+            idx = build_window_index(
+                self.genome.codes_flat, self.cohort.pos, self.cohort.ref_code,
+                self.cohort.alt_code, self.cohort.phase1, self.cohort.phase2,
+            )
+            return (idx.genome_words, offsets, pos, idx.sub12, idx.grid, counts)
+        if self.kernel == "pallas":
+            from haplohyped_tpu.ops.pallas_window import build_pallas_window_index
+
+            pidx = build_pallas_window_index(
+                self.genome.codes_flat, self.cohort.pos, self.cohort.ref_code,
+                self.cohort.alt_code, self.cohort.phase1, self.cohort.phase2,
+                self.cohort.counts,
+            )
+            return (pidx, offsets)
+        raise ValueError(f"unknown window kernel: {self.kernel!r}")
 
     @classmethod
     def from_files(
@@ -268,27 +305,22 @@ class DeviceHaplotypeSampler:
             self._step += 1
         else:
             base, step = key, 0
-        flat, offsets, lengths = self._genome_dev
-        pos, ref, alt, p1, p2, counts = self._cohort_dev
+        _, _, lengths = self._genome_dev
         return _sample_batch(
             base,
             jnp.int32(step),
-            flat,
-            offsets,
             lengths,
             self._regions_dev,
-            pos,
-            ref,
-            alt,
-            p1,
-            p2,
-            counts,
+            self._enc,
             L=self.config.seq_length,
             K=self.config.max_variants_per_window,
             B=self.config.batch_size,
+            D=self.cohort.num_donors,
             num_channels=self.num_channels,
             onehot_dtype=self.onehot_dtype,
             emit_onehot=self.emit_onehot,
+            kernel=self.kernel,
+            interpret=self._interpret,
         )
 
     def sample_many(self, n_batches: int, key: jax.Array | None = None) -> HaplotypeBatch:
@@ -300,28 +332,23 @@ class DeviceHaplotypeSampler:
             self._step += n_batches
         else:
             base, step = key, 0
-        flat, offsets, lengths = self._genome_dev
-        pos, ref, alt, p1, p2, counts = self._cohort_dev
+        _, _, lengths = self._genome_dev
         return _sample_batches(
             base,
             jnp.int32(step),
-            flat,
-            offsets,
             lengths,
             self._regions_dev,
-            pos,
-            ref,
-            alt,
-            p1,
-            p2,
-            counts,
+            self._enc,
             L=self.config.seq_length,
             K=self.config.max_variants_per_window,
             B=self.config.batch_size,
+            D=self.cohort.num_donors,
             num_channels=self.num_channels,
             onehot_dtype=self.onehot_dtype,
             n_batches=n_batches,
             emit_onehot=self.emit_onehot,
+            kernel=self.kernel,
+            interpret=self._interpret,
         )
 
     def __iter__(self):

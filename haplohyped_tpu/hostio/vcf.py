@@ -15,10 +15,20 @@ import logging
 
 import numpy as np
 
+from collections import Counter
+
 from haplohyped_tpu.hostio import native
 from haplohyped_tpu.hostio.frame_format import REC_SIZE, FramedRecords, pack_frame
 
 logger = logging.getLogger(__name__)
+
+#: Per-path count of full framing passes (each ``frame``/``frame12``/
+#: ``frame_v2`` call decompresses + tokenizes the file once — indexed
+#: region reads decompress only the covering block range but still count
+#: as one pass).  Tests use this to assert single-pass behavior: a
+#: 100-donor sharded conversion must cost one pass per (chromosome,
+#: shard), not one per donor.
+FRAME_COUNTS: Counter = Counter()
 
 
 def _read_text(path: str) -> bytes:
@@ -93,6 +103,7 @@ class VCFSource:
         ``sample`` selects whose GT subfield is packed; ``region`` filters by
         chromosome (optionally ``chrom:beg-end``, 1-based inclusive).
         """
+        FRAME_COUNTS[self.path] += 1
         if self.use_native:
             records, seen = native.vcf_frame(self.path, sample, region, self.threads)
             return FramedRecords(records=records, total_seen=seen)
@@ -110,6 +121,7 @@ class VCFSource:
         is unavailable, and raises ``ValueError`` for files with > 255
         distinct chroms (route those through :meth:`frame`).
         """
+        FRAME_COUNTS[self.path] += 1
         if self.use_native:
             return native.vcf_frame12(self.path, sample, region, self.threads)
         framed = self._py_frame(sample, region)
@@ -138,6 +150,7 @@ class VCFSource:
         ``FrameV2.blocks_decoded`` reports the subset size.  Returns a
         :class:`~haplohyped_tpu.hostio.frame_format.FrameV2`.
         """
+        FRAME_COUNTS[self.path] += 1
         c_lo, u_skip, c_hi = -1, 0, -1
         if use_index and region:
             chrom, beg, end = _parse_region(region)

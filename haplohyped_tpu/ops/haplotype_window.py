@@ -177,6 +177,11 @@ def build_window_index(
     pad = (-g.size) % 4 + 16
     g = np.concatenate([g, np.zeros(pad, np.int8)])
     words = g.view("<i4")
+    # the packed-sub and word-unpack tricks assume non-negative 7-bit codes
+    # (base codes are 0..4); negative codes would decode differently here
+    # than in the baseline kernel
+    assert int(var_ref.min(initial=0)) >= 0 and int(var_ref.max(initial=0)) < 128
+    assert int(var_alt.min(initial=0)) >= 0 and int(var_alt.max(initial=0)) < 128
     sub1 = np.where(var_p1 == 1, var_alt, var_ref).astype(np.int16)
     sub2 = np.where(var_p2 == 1, var_alt, var_ref).astype(np.int16)
     sub12 = (sub1 & 0xFF) | (sub2 << 8)

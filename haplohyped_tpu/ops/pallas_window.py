@@ -96,6 +96,10 @@ def build_pallas_window_index(
     Vp = -(-V // SP) * SP + CHUNK
     vp = np.full((D * C, Vp), imax, np.int32)
     vp[:, :V] = var_pos.reshape(D * C, V)
+    # the kernel's winner select (max over masked c1/c2 columns) and byte
+    # packing assume non-negative 7-bit codes (base codes are 0..4)
+    assert int(var_ref.min(initial=0)) >= 0 and int(var_ref.max(initial=0)) < 128
+    assert int(var_alt.min(initial=0)) >= 0 and int(var_alt.max(initial=0)) < 128
     sub1 = np.where(var_p1 == 1, var_alt, var_ref).astype(np.int32)
     sub2 = np.where(var_p2 == 1, var_alt, var_ref).astype(np.int32)
     sub = np.zeros((D * C, Vp), np.int32)
@@ -321,9 +325,9 @@ def encode_windows_pallas(
         num_scalar_prefetch=6,
         grid=(B // W_PER_PROG,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # genome words
-            pl.BlockSpec(memory_space=pltpu.ANY),  # vp
-            pl.BlockSpec(memory_space=pltpu.ANY),  # sub
+            pl.BlockSpec(memory_space=pl.ANY),  # genome words
+            pl.BlockSpec(memory_space=pl.ANY),  # vp
+            pl.BlockSpec(memory_space=pl.ANY),  # sub
         ],
         out_specs=[
             pl.BlockSpec((W_PER_PROG, OUT_W), lambda g, *_: (g, 0)),

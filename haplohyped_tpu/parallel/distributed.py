@@ -69,8 +69,9 @@ def process_info() -> tuple[int, int]:
 
 def host_local_tasks(tasks: list) -> list:
     """The strided slice of a global task list this host is responsible for
-    (matches :class:`haplohyped_tpu.parallel.sharded_convert.ShardPlan`'s
-    round-robin convention)."""
+    (simple round-robin; :class:`~haplohyped_tpu.parallel.sharded_convert.
+    ShardPlan` uses contiguous blocks instead so each block is one
+    single-pass ``frame_v2`` group)."""
     idx, count = process_info()
     return tasks[idx::count]
 

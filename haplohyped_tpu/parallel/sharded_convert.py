@@ -1,12 +1,23 @@
-"""Mesh-sharded cohort conversion.
+"""Mesh-sharded cohort conversion — SINGLE-PASS per (chromosome, shard).
 
 The data-parallel conversion driver of the north star: (donor × chromosome)
-tasks are assigned round-robin to ``data``-axis shards (hosts in a multi-host
-deployment, devices here), each shard's framed records decode SPMD on its
-devices, and the per-shard variant tensors merge into the replicated global
-cohort tensor with one ``all_gather`` over ICI.  On a real multi-host slice
-each process only reads its own shard's VCF bytes; the collective is the only
-cross-host communication.
+tasks are assigned in contiguous blocks to ``data``-axis shards (hosts in a
+multi-host deployment, devices here), each shard's framed records decode SPMD
+on its devices, and the per-shard variant tensors merge into the replicated
+global cohort tensor with one ``all_gather`` over ICI.  On a real multi-host
+slice each process only reads its own shard's VCF bytes; the collective is
+the only cross-host communication.
+
+Task order is CHROM-MAJOR, so a shard's contiguous row block is a donor-block
+of one chromosome (spanning at most a handful of chromosome boundaries).
+Each (chromosome, donor-block) parses with ONE ``frame_v2`` call: the VCF is
+decompressed/tokenized once and every donor's GT column extracted from that
+single pass — unlike the reference's O(donors × file) loop
+(``/root/reference/src/haplohyped/vcf_to_h5.py:142-152``), which re-reads and
+re-decodes the whole file per donor (BASELINE config 4: "100+ samples,
+sample-sharded data-parallel streaming").  Wall clock is ~flat in donor count;
+``haplohyped_tpu.hostio.vcf.FRAME_COUNTS`` lets tests assert the
+decompression count.
 """
 
 from __future__ import annotations
@@ -32,9 +43,12 @@ _EMPTY_STRUCT = np.zeros(0, dtype=SNP_STRUCT_DTYPE)
 class ShardPlan:
     """Contiguous-block task assignment over the data axis (block layout
     matches a ``P('data')`` row sharding, so shard s's tasks are exactly the
-    rows its devices hold — each process parses only its own rows)."""
+    rows its devices hold — each process parses only its own rows).
 
-    tasks: list[tuple[str, str]]  # (donor, chrom_name), global order
+    Tasks are chrom-major: shard s's block is a run of donors within one
+    chromosome, so the shard needs ~1 file pass per chromosome it touches."""
+
+    tasks: list[tuple[str, str]]  # (donor, chrom_name), chrom-major order
     n_shards: int
 
     @property
@@ -54,32 +68,25 @@ class ShardPlan:
 
 
 def plan_shards(donors: list[str], chrom_names: list[str], n_shards: int) -> ShardPlan:
-    tasks = [(d, c) for d in donors for c in chrom_names]
+    tasks = [(d, c) for c in chrom_names for d in donors]
     return ShardPlan(tasks=tasks, n_shards=n_shards)
 
 
-def _parse_task(vcf_path: str, donor: str, chrom: str, threads: int) -> np.ndarray:
-    """One (donor, chrom) -> SNP struct (host+device decode)."""
-    from haplohyped_tpu.hostio import native
+def _parse_task_group(
+    vcf_path: str, donors: list[str], chrom: str, threads: int, device: bool
+) -> dict[str, np.ndarray]:
+    """One (chromosome, donor-block) -> per-donor SNP structs from a SINGLE
+    file pass (``frame_v2`` extracts every donor's GT column at once)."""
     from haplohyped_tpu.hostio.vcf import VCFSource
-    from haplohyped_tpu.ops.vcf_decode import decode_frames_numpy
-    from haplohyped_tpu.pipeline.records import (
-        snp_struct_from_decoded,
-        snp_struct_from_frames,
+    from haplohyped_tpu.pipeline.records import snp_structs_from_v2
+    from haplohyped_tpu.pipeline.vcf_to_h5 import _decode_v2
+
+    src = VCFSource(vcf_path, threads=threads)
+    frame = src.frame_v2(samples=donors, region=chrom)
+    decoded = _decode_v2(frame, device)
+    return snp_structs_from_v2(
+        decoded, frame.chroms, frame.samples, chrom_filter=chrom
     )
-
-    if native.native_available():
-        vt = native.vcf_text(vcf_path, threads=threads)
-        try:
-            from haplohyped_tpu.ops.vcf_tokenize import tokenize_vcf_device
-
-            dec = tokenize_vcf_device(vt, donor)
-            if not dec["long_line"].any():
-                return snp_struct_from_decoded(dec, dec["chrom"], chrom_filter=chrom)
-        finally:
-            vt.close()
-    fr = VCFSource(vcf_path, threads=threads).frame(sample=donor, region=chrom)
-    return snp_struct_from_frames(fr.records, decode_frames_numpy(fr.records))
 
 
 def _structs_to_task_tensors(structs: list[np.ndarray], vmax: int):
@@ -128,6 +135,7 @@ def convert_sharded(
     mesh: Mesh,
     threads: int = 2,
     host_workers: int = 4,
+    device_decode: bool = False,
 ) -> CohortTensors:
     """Convert a cohort into device-resident tensors via the sharded plan.
 
@@ -137,6 +145,12 @@ def convert_sharded(
     jit inserts the all-gather (XLA collective over ICI on TPU slices,
     Gloo between CPU test processes).  Single-process runs take the same
     code path with every shard local.
+
+    Parsing is single-pass: the process's local rows are grouped by
+    chromosome and each group costs ONE ``frame_v2`` file pass regardless
+    of how many donors it covers.  ``device_decode=True`` runs the v2
+    decode kernel on the accelerator (host numpy decode otherwise — the
+    right default for CPU-mesh test processes).
     """
     from jax.sharding import NamedSharding
 
@@ -146,14 +160,27 @@ def convert_sharded(
     my_rows = [i for s in local_shards for i in plan.shard_rows(s)]
     my_tasks = [plan.tasks[i] if i < len(plan.tasks) else None for i in my_rows]
 
-    # host parse: only this process's rows (None rows are padding)
-    def parse(t):
-        if t is None:
-            return _EMPTY_STRUCT
-        return _parse_task(vcf_path_for[t[1]], t[0], t[1], threads)
+    # host parse: group this process's rows by chromosome — one frame_v2
+    # pass per (chromosome, local donor-set); None rows are padding
+    groups: dict[str, list[int]] = {}
+    for k, t in enumerate(my_tasks):
+        if t is not None:
+            groups.setdefault(t[1], []).append(k)
+
+    structs: list[np.ndarray] = [_EMPTY_STRUCT] * len(my_tasks)
+
+    def parse_group(item):
+        chrom, idxs = item
+        block_donors = list(dict.fromkeys(my_tasks[k][0] for k in idxs))
+        per_donor = _parse_task_group(
+            vcf_path_for[chrom], block_donors, chrom, threads, device_decode
+        )
+        return idxs, per_donor
 
     with ThreadPoolExecutor(max_workers=host_workers) as ex:
-        structs = list(ex.map(parse, my_tasks))
+        for idxs, per_donor in ex.map(parse_group, groups.items()):
+            for k in idxs:
+                structs[k] = per_donor[my_tasks[k][0]]
 
     # vmax must agree across processes: all-reduce the local max
     vmax_local = max((s.shape[0] for s in structs), default=1)
