@@ -57,7 +57,32 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def device_health(timeout_s: float = 20.0, retries: int = 2) -> tuple[bool, bool]:
+def stats(ts: list[float]) -> dict:
+    """Median/IQR/best of a timing sample (seconds).  Median is the
+    decision statistic everywhere (the tunneled link shows 30x run-to-run
+    spread, so best-of is noise-prone); best is kept as a secondary."""
+    a = np.asarray(sorted(ts), dtype=np.float64)
+    q1, med, q3 = np.percentile(a, [25, 50, 75])
+    return {
+        "n": len(ts),
+        "median_s": round(float(med), 5),
+        "iqr_s": round(float(q3 - q1), 5),
+        "best_s": round(float(a[0]), 5),
+    }
+
+
+def fmt_stats(s: dict) -> str:
+    return (
+        f"median {s['median_s']:.4f}s IQR {s['iqr_s']:.4f}s "
+        f"best {s['best_s']:.4f}s (n={s['n']})"
+    )
+
+
+#: timed iterations per stage (VERDICT r2 #3: >=10 for defensible medians)
+N_ITERS = int(os.environ.get("HH_BENCH_ITERS", 10))
+
+
+def device_health(timeout_s: float = 45.0, retries: int = 2) -> tuple[bool, bool]:
     """Probe device execute (in-process) and device->host transfer (in a
     SUBPROCESS).  Returns ``(exec_ok, d2h_ok)``.
 
@@ -69,26 +94,23 @@ def device_health(timeout_s: float = 20.0, retries: int = 2) -> tuple[bool, bool
     import subprocess
     import threading
 
-    # --- d2h probe first, before this process initializes any backend ---
-    d2h_ok = False
-    try:
-        rc = subprocess.run(
-            [
-                sys.executable,
-                "-c",
-                "import jax, numpy as np;"
-                "x = jax.jit(lambda a: a * 2)(jax.numpy.arange(16));"
-                "assert int(np.asarray(jax.device_get(x))[1]) == 2",
-            ],
-            timeout=timeout_s,
-            capture_output=True,
-            env=dict(os.environ),
-        ).returncode
-        d2h_ok = rc == 0
-    except subprocess.TimeoutExpired:
-        pass
-    if not d2h_ok:
-        log("WARNING: device->host transfer unhealthy; skipping d2h-dependent stages")
+    # --- d2h probe subprocess launches FIRST (non-blocking) so its cold
+    # jax bring-up overlaps the in-process exec probe below.  A probe
+    # TIMEOUT is definitive (it already waited timeout_s with a warm
+    # compilation cache); only a quick non-zero exit earns a retry.
+    d2h_proc = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            "import jax, numpy as np;"
+            "x = jax.jit(lambda a: a * 2)(jax.numpy.arange(16));"
+            "assert int(np.asarray(jax.device_get(x))[1]) == 2",
+        ],
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+        env=dict(os.environ),
+    )
+    d2h_t0 = time.time()
 
     # --- exec probe (no d2h anywhere on this path) -----------------------
     exec_seen = False
@@ -117,6 +139,40 @@ def device_health(timeout_s: float = 20.0, retries: int = 2) -> tuple[bool, bool
             time.sleep(5)
     if not exec_seen:
         log("WARNING: device cannot execute; caller should fall back to CPU")
+
+    # --- join the overlapped d2h probe -----------------------------------
+    d2h_ok = False
+    try:
+        remaining = max(1.0, timeout_s - (time.time() - d2h_t0))
+        rc = d2h_proc.wait(timeout=remaining)
+        if rc == 0:
+            d2h_ok = True
+        else:  # quick failure (not a stall): one retry is cheap
+            try:
+                rc = subprocess.run(
+                    [
+                        sys.executable,
+                        "-c",
+                        "import jax, numpy as np;"
+                        "x = jax.jit(lambda a: a * 2)(jax.numpy.arange(16));"
+                        "assert int(np.asarray(jax.device_get(x))[1]) == 2",
+                    ],
+                    timeout=timeout_s,
+                    capture_output=True,
+                    env=dict(os.environ),
+                ).returncode
+                d2h_ok = rc == 0
+            except subprocess.TimeoutExpired:
+                pass
+    except subprocess.TimeoutExpired:
+        log(f"d2h probe timed out ({timeout_s:.0f}s)")
+        d2h_proc.kill()
+        try:
+            d2h_proc.wait(timeout=5)
+        except subprocess.TimeoutExpired:
+            pass
+    if not d2h_ok:
+        log("WARNING: device->host transfer unhealthy; skipping d2h-dependent stages")
     return exec_seen, d2h_ok
 
 
@@ -234,18 +290,18 @@ def bench_parse_encode(
     dev = jax.devices()[0]
     log(f"device: {dev}")
 
-    # --- host stage: BGZF decode + v2 framing (best of 3) --------------
+    # --- host stage: BGZF decode + v2 framing ---------------------------
     host_s = []
     frame = None
-    for _ in range(3):
+    for _ in range(max(5, N_ITERS // 2)):
         t0 = time.time()
         frame = native.vcf_frame_v2(vcf, sample, None, threads=threads)
         host_s.append(time.time() - t0)
-    host_best = min(host_s)
+    hst = stats(host_s)
+    host_med = hst["median_s"]
     n = frame.n
     log(
-        f"host decompress+frame_v2: {[f'{t:.3f}' for t in host_s]}s "
-        f"(best {host_best:.3f}) for {n} records "
+        f"host decompress+frame_v2: {fmt_stats(hst)} for {n} records "
         f"({frame.wire_bytes() / 1e6:.0f} MB wire), chroms={frame.chroms}"
     )
 
@@ -257,28 +313,30 @@ def bench_parse_encode(
 
     # --- upload + device decode (mutated content each iteration) --------
     dev_s = []
-    for i in range(6):
+    for i in range(N_ITERS):
         t0 = time.time()
         out = _upload_decode_v2(frame, dev, i + 1)
         jax.block_until_ready(out)
         dev_s.append(time.time() - t0)
-    dev_best = min(dev_s)
+    dst = stats(dev_s)
+    dev_med = dst["median_s"]
     snps = (
         f"{int(np.asarray(out['snp_mask'])[:n].sum())} SNPs"
         if with_d2h
         else "d2h skipped"
     )
     log(
-        f"upload+decode: {[f'{t:.3f}' for t in dev_s]}s (best {dev_best:.3f}) "
-        f"= {n / dev_best:,.0f} variants/s ({snps})"
+        f"upload+decode: {fmt_stats(dst)} "
+        f"= {n / dev_med:,.0f} variants/s at median ({snps})"
     )
 
-    staged = host_best + dev_best
+    staged = host_med + dev_med
     log(
         f"staged parse+encode: {n} variants in {staged:.3f}s "
-        f"(host {host_best:.3f} + upload+device {dev_best:.3f}) "
+        f"(host median {host_med:.3f} + upload+device median {dev_med:.3f}) "
         f"= {n / staged:,.0f} variants/s"
     )
+    _PARTIAL["parse_encode_stats"] = {"host": hst, "upload_decode": dst}
     # a real measurement exists from here on: let the watchdog emit it if
     # the pipelined stage wedges
     _PARTIAL.setdefault("value", round(n / staged))
@@ -368,10 +426,12 @@ def bench_cohort(vcf: str, threads: int) -> float:
 # ---------------------------------------------------------------------
 
 
-def bench_shootout(vcf: str, sample: str, threads: int) -> tuple[float, float]:
+def bench_shootout(vcf: str, sample: str, threads: int) -> dict:
     """Head-to-head on-chip: XLA jit decode_frames12 vs the Pallas 12-byte
-    kernel, identical inputs, mutated per iteration.  Returns
-    (xla_vps, pallas_vps)."""
+    kernel, identical inputs, mutated per iteration.  MEDIAN of N_ITERS
+    decides (VERDICT r2 #3: 4-iteration best-of flipped the verdict vs the
+    median on this noisy link).  Returns {"xla": {...}, "pallas": {...},
+    "winner": name}."""
     import jax
 
     from haplohyped_tpu.hostio import native
@@ -409,19 +469,136 @@ def bench_shootout(vcf: str, sample: str, threads: int) -> tuple[float, float]:
             fn(0)  # compile
             log(f"decode12 {name}: compile+first run {time.time() - t0:.1f}s")
             ts = []
-            for i in range(4):
+            for i in range(N_ITERS):
                 t0 = time.time()
                 fn(i + 1)
                 ts.append(time.time() - t0)
-            results[name] = n / min(ts)
+            st = stats(ts)
+            results[name] = {"vps": round(n / st["median_s"]), **st}
             log(
-                f"decode12 {name}: {[f'{t:.3f}' for t in ts]}s "
-                f"= {results[name]:,.0f} variants/s (upload+decode)"
+                f"decode12 {name}: {fmt_stats(st)} "
+                f"= {results[name]['vps']:,.0f} variants/s at median (upload+decode)"
             )
         except Exception as exc:
             log(f"decode12 {name} failed: {exc}")
-            results[name] = 0.0
-    return results.get("xla", 0.0), results.get("pallas", 0.0)
+            results[name] = {"vps": 0, "error": str(exc)[:200]}
+    winner = max(results, key=lambda k: results[k]["vps"])
+    results["winner"] = winner
+    log(f"decode12 winner at median: {winner}")
+    return results
+
+
+# ---------------------------------------------------------------------
+# stage: device-resident decode roofline (no H2D in the timed region)
+# ---------------------------------------------------------------------
+
+#: v5e (v5 lite) peak HBM bandwidth, bytes/s
+V5E_HBM_BYTES_PER_S = 819e9
+
+
+def bench_device_roofline(vcf: str, sample: str, threads: int) -> dict:
+    """Kernel-only decode throughput with input ALREADY on device: how far
+    the decode kernel itself sits from speed-of-light HBM bandwidth
+    (BASELINE.json north star).  The timed computation flips one device
+    byte per iteration (jit-traced, index fed as a device scalar) so a
+    caching relay must re-execute, but no host->device transfer of the
+    record buffer happens inside the timed region."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from haplohyped_tpu.hostio import native
+    from haplohyped_tpu.ops.vcf_decode import decode_frames12
+
+    dev = jax.devices()[0]
+    rec, chroms, _ = native.vcf_frame12(vcf, sample, None, threads=threads)
+    n = rec.shape[0]
+    rec_dev = jax.device_put(rec, dev)
+
+    @functools.partial(jax.jit, donate_argnums=())
+    def mutate_and_decode(r, i):
+        r = r.at[i, 5].set(r[i, 5] ^ 1)
+        return decode_frames12(r)
+
+    out = mutate_and_decode(rec_dev, jnp.int32(0))  # compile
+    jax.block_until_ready(out)
+    ts = []
+    for i in range(N_ITERS):
+        idx = jax.device_put(np.int32(i % n), dev)
+        t0 = time.time()
+        o = mutate_and_decode(rec_dev, idx)
+        jax.block_until_ready(o)
+        ts.append(time.time() - t0)
+    st = stats(ts)
+    vps = n / st["median_s"]
+    # HBM traffic: read 12 B/record; write the decoded columns.  Byte
+    # count from dtype/shape only — np.asarray here would be a d2h
+    # transfer, which wedges when the relay's d2h path is sick.
+    out_bytes = sum(v.dtype.itemsize * int(np.prod(v.shape)) for v in out.values())
+    bytes_total = 12 * n + out_bytes
+    gbps = bytes_total / st["median_s"] / 1e9
+    frac = gbps * 1e9 / V5E_HBM_BYTES_PER_S
+    log(
+        f"device-resident decode12: {fmt_stats(st)} = {vps:,.0f} variants/s, "
+        f"{gbps:.1f} GB/s moved ({12 * n / 1e6:.0f} MB in + {out_bytes / 1e6:.0f} MB out) "
+        f"= {frac * 100:.1f}% of v5e HBM peak ({V5E_HBM_BYTES_PER_S / 1e9:.0f} GB/s)"
+    )
+    return {
+        "variants_per_sec": round(vps),
+        "gb_per_sec": round(gbps, 2),
+        "hbm_peak_fraction": round(frac, 4),
+        **st,
+    }
+
+
+# ---------------------------------------------------------------------
+# stage: FASTA encoder (BASELINE config 2)
+# ---------------------------------------------------------------------
+
+FASTA_BASES = int(os.environ.get("HH_BENCH_FASTA_BASES", 30_000_000))
+
+
+def bench_fasta(threads: int) -> dict:
+    """Chromosome-scale FASTA -> one-hot HDF5 (the fasta_encoder CLI path,
+    reference ``src/haplohyped/fasta_encoder.py:80-109``).  Reports bases/s
+    end-to-end including the Blosc HDF5 write + merge."""
+    import shutil
+    import tempfile
+
+    from haplohyped_tpu.core.config import FastaEncodeConfig
+    from haplohyped_tpu.pipeline.fasta_encoder import encode_fasta
+
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    fasta = os.path.join(BENCH_DIR, f"bench_{FASTA_BASES}.fasta")
+    if not os.path.exists(fasta):
+        log(f"generating bench FASTA: {FASTA_BASES} bases ...")
+        rng = np.random.default_rng(3)
+        seq = np.frombuffer(b"ACGTN", np.uint8)[
+            rng.choice(5, size=FASTA_BASES, p=[0.245, 0.245, 0.245, 0.245, 0.02])
+        ]
+        with open(fasta, "wb") as f:
+            f.write(b">chr1\n")
+            for lo in range(0, FASTA_BASES, 80):
+                f.write(seq[lo : lo + 80].tobytes() + b"\n")
+    out_dir = tempfile.mkdtemp(prefix="hh_fasta_")
+    try:
+        t0 = time.time()
+        encode_fasta(
+            FastaEncodeConfig(
+                fasta_path=fasta, out_dir=out_dir, cores=threads,
+                chromosomes=("chr1",),
+            )
+        )
+        secs = time.time() - t0
+        bps = FASTA_BASES / secs
+        log(
+            f"fasta_encoder: {FASTA_BASES / 1e6:.0f}M bases -> one-hot HDF5 "
+            f"in {secs:.1f}s = {bps / 1e6:.1f}M bases/s"
+        )
+        return {"bases": FASTA_BASES, "seconds": round(secs, 2), "bases_per_sec": round(bps)}
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------
@@ -477,18 +654,12 @@ def bench_whole_genome(threads: int, device_decode: bool) -> dict:
 # ---------------------------------------------------------------------
 
 
-def bench_windows() -> dict:
-    """Haplotype windows/sec from the on-device sampler on synthetic
-    tensors.  Every iteration feeds a FRESH host-built PRNG key (a caching
-    execution relay elides repeats on identical inputs — measured 148x
-    physical peak when violated, so key reuse would be a lie)."""
-    import jax
-
-    from haplohyped_tpu.core.config import SamplerConfig
+def _window_fixture():
+    """Synthetic sampler fixture shared by the windows + window_kernels
+    stages: 10M-base genome, 8 donors x 100K variants, 256 BED regions."""
     from haplohyped_tpu.core.constants import SNP_STRUCT_DTYPE
     from haplohyped_tpu.data.cohort import CohortTensors
     from haplohyped_tpu.data.genome import GenomeTensors
-    from haplohyped_tpu.data.sampler import DeviceHaplotypeSampler
 
     rng = np.random.default_rng(1)
     L_chrom = 10_000_000
@@ -512,12 +683,40 @@ def bench_windows() -> dict:
     spans = np.stack(
         [(s := rng.integers(0, L_chrom - 2000, size=256)), s + 1500], axis=1
     )
+    return genome, cohort, spans
+
+
+def _time_sampler(sampler, n_batches: int, iters: int) -> list[float]:
+    """Per-iteration wall times of ``sample_many`` with FRESH host-built
+    PRNG keys (a caching execution relay elides repeats on identical
+    inputs — measured 148x physical peak when violated)."""
+    import jax
+
+    ts = []
+    for i in range(iters):
+        key = jax.random.PRNGKey(1000 + i)
+        t0 = time.time()
+        o = sampler.sample_many(n_batches, key=key)
+        jax.block_until_ready(o.hap1)
+        ts.append(time.time() - t0)
+    return ts
+
+
+def bench_windows() -> dict:
+    """Haplotype windows/sec from the on-device sampler (the shipped
+    default kernel), codes + one-hot modes, median-of-N_ITERS."""
+    import jax
+
+    from haplohyped_tpu.core.config import SamplerConfig
+    from haplohyped_tpu.data.sampler import DeviceHaplotypeSampler
+
+    genome, cohort, spans = _window_fixture()
     B, L = 64, 1000
     cfg = SamplerConfig(seq_length=L, batch_size=B, seed=0, max_variants_per_window=64)
     if jax.devices()[0].platform == "cpu":
-        n_batches, iters = 8, 2
+        n_batches, iters = 8, 3
     else:
-        n_batches, iters = 64, 4
+        n_batches, iters = 64, N_ITERS
 
     out = {}
     for mode, emit_onehot in (("codes", False), ("onehot", True)):
@@ -526,18 +725,63 @@ def bench_windows() -> dict:
         )
         b = sampler.sample_many(n_batches)  # compile
         jax.block_until_ready(b.hap1)
-        t0 = time.time()
-        for i in range(iters):
-            key = jax.random.PRNGKey(1000 + i)  # fresh key: relay must run
-            o = sampler.sample_many(n_batches, key=key)
-            jax.block_until_ready(o.hap1)
-        dt = (time.time() - t0) / (iters * n_batches)
-        wps = B / dt
+        ts = _time_sampler(sampler, n_batches, iters)
+        st = stats(ts)
+        wps = B * n_batches / st["median_s"]
         out[mode] = wps
+        out[f"{mode}_stats"] = st
         log(
-            f"sampler [{mode}] (fused x{n_batches}, fresh keys): {B} windows/"
-            f"batch in {dt * 1e3:.3f} ms/batch = {wps:,.0f} windows/s"
+            f"sampler [{mode}] (kernel={cfg.window_kernel}, fused x{n_batches}, "
+            f"fresh keys): {fmt_stats(st)} = {wps:,.0f} windows/s at median"
         )
+    return out
+
+
+def bench_window_kernels() -> dict:
+    """3-way shoot-out of the bit-equal window kernels (baseline jnp /
+    fast word-gather / Pallas DMA) on the chip — the sampler default is
+    whichever wins here (VERDICT r2 #2).  Median-of-N_ITERS decides."""
+    import jax
+
+    from haplohyped_tpu.core.config import SamplerConfig
+    from haplohyped_tpu.data.sampler import DeviceHaplotypeSampler
+
+    genome, cohort, spans = _window_fixture()
+    B, L = 64, 1000
+    on_cpu = jax.devices()[0].platform == "cpu"
+    # default 256 fused batches (16K windows/dispatch): at 64 the three
+    # kernels all sit on the ~0.3ms dispatch floor and tie within IQR
+    n_batches, iters = (
+        (4, 3) if on_cpu else (int(os.environ.get("HH_BENCH_WINDOW_NB", 256)), N_ITERS)
+    )
+
+    out = {}
+    kernels = ["baseline", "fast"] if on_cpu else ["baseline", "fast", "pallas"]
+    for kernel in kernels:
+        cfg = SamplerConfig(
+            seq_length=L, batch_size=B, seed=0,
+            max_variants_per_window=64, window_kernel=kernel,
+        )
+        try:
+            sampler = DeviceHaplotypeSampler(genome, cohort, spans, cfg)
+            t0 = time.time()
+            b = sampler.sample_many(n_batches)  # compile
+            jax.block_until_ready(b.hap1)
+            log(f"window kernel [{kernel}]: compile+first {time.time() - t0:.1f}s")
+            ts = _time_sampler(sampler, n_batches, iters)
+            st = stats(ts)
+            wps = B * n_batches / st["median_s"]
+            out[kernel] = {"windows_per_sec": round(wps), **st}
+            log(
+                f"window kernel [{kernel}]: {fmt_stats(st)} "
+                f"= {wps:,.0f} windows/s at median"
+            )
+        except Exception as exc:
+            log(f"window kernel [{kernel}] failed: {exc}")
+            out[kernel] = {"windows_per_sec": 0, "error": str(exc)[:200]}
+    winner = max(out, key=lambda k: out[k]["windows_per_sec"])
+    out["winner"] = winner
+    log(f"window kernel winner at median: {winner}")
     return out
 
 
@@ -629,11 +873,16 @@ def _result_json() -> dict:
     for k in (
         "windows_per_sec",
         "windows_per_sec_onehot",
+        "window_kernels",
         "cohort_donor_variants_per_sec",
         "decode12_xla_vps",
         "decode12_pallas_vps",
+        "decode12",
+        "device_roofline",
         "whole_genome",
+        "fasta",
         "storage",
+        "parse_encode_stats",
         "note",
     ):
         if k in _PARTIAL:
@@ -793,6 +1042,9 @@ def main() -> None:
 
         jax.config.update("jax_platforms", "cpu")
     _jax_cache_config()
+    from haplohyped_tpu.utils.malloc_tune import tune_malloc
+
+    tune_malloc()  # this rig faults fresh pages at ~27 MB/s; reuse arenas
     # 2x oversubscription hides chunk imbalance + page-fault stalls in the
     # native framer (measured: 0.252s at 4 threads vs 0.317s at 2 on a
     # 2-core host)
@@ -820,6 +1072,7 @@ def main() -> None:
     # ordered by judge priority; min_time gates keep the watchdog honest
     aux_stages = [
         ("windows", lambda: bench_windows(), 45),
+        ("window_kernels", lambda: bench_window_kernels(), 60),
         (
             "whole_genome",
             lambda: bench_whole_genome(threads, device_decode=exec_ok and d2h_ok),
@@ -831,17 +1084,23 @@ def main() -> None:
             20,
         ),
         ("shootout", lambda: bench_shootout(vcf, sample, threads), 45),
+        ("device_roofline", lambda: bench_device_roofline(vcf, sample, threads), 30),
+        ("fasta", lambda: bench_fasta(threads), 40),
         ("storage", lambda: bench_storage(), 25),
     ]
+    only = os.environ.get("HH_BENCH_STAGES")  # comma list to run a subset
     for name, fn, min_time in aux_stages:
+        if only and name not in only.split(","):
+            continue
         if time_left() < min_time:
             log(f"skipping {name} stage ({time_left():.0f}s left < {min_time}s)")
             continue
         try:
             val = fn()
             if name == "shootout":
-                _PARTIAL["decode12_xla_vps"] = round(val[0])
-                _PARTIAL["decode12_pallas_vps"] = round(val[1])
+                _PARTIAL["decode12"] = val
+                _PARTIAL["decode12_xla_vps"] = val["xla"]["vps"]
+                _PARTIAL["decode12_pallas_vps"] = val.get("pallas", {}).get("vps", 0)
             elif name == "windows":
                 _PARTIAL["windows_per_sec"] = round(val["codes"])
                 _PARTIAL["windows_per_sec_onehot"] = round(val["onehot"])

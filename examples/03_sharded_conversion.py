@@ -23,6 +23,12 @@ DATA = os.path.join(os.path.dirname(__file__), "..", "tests", "data")
 def main() -> None:
     import jax
 
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        # some images pre-import jax pinned to an accelerator platform via
+        # sitecustomize (which overrides the env var); re-pin through the
+        # config so the virtual CPU mesh requested above really applies
+        jax.config.update("jax_platforms", "cpu")
+
     if jax.default_backend() != "cpu" and len(jax.devices()) < 2:
         print("single accelerator found; using it as a 1-device mesh")
 

@@ -52,6 +52,14 @@ class ConvertConfig:
     #: the reference's O(donors x file) re-parse (``vcf_to_h5.py:142-152``).
     #: Off = the donor-fan-out path (one parse per donor, reference shape).
     single_pass: bool = True
+    #: write each donor's dataset STRAIGHT into the final cohort file
+    #: (single writer, per-donor groups) instead of the reference's
+    #: temp-file-per-(donor, chrom) + sequential-merge shape — the merge
+    #: copy roughly triples storage cost at whole-genome scale.  Dataset
+    #: contents, layout and compression are identical either way (pinned
+    #: by tests); automatically disabled when ``resume`` is on (resume
+    #: tracks temp artifacts).
+    direct_write: bool = True
 
     @property
     def tmp_dir(self) -> str:

@@ -1,25 +1,30 @@
-"""Pallas fused haplotype-window kernel.
+"""Pallas fused haplotype-window kernel (selectable alternative path).
 
-The TPU production path for the on-device sampler's window encode
-(reference semantics: ``haplotype_dataset.py:86-110`` — reference-genome
-window with per-phase ALT substitution at in-window variant positions).
+One of the three bit-equal window-encode kernels selectable via
+``SamplerConfig.window_kernel`` (reference semantics:
+``haplotype_dataset.py:86-110`` — reference-genome window with per-phase
+ALT substitution at in-window variant positions).  NOT the default: the
+bench's 3-way shoot-out on a v5e chip (``bench.py`` ``window_kernels``
+stage, median of 10) measured the ``fast`` word-gather XLA kernel ahead
+(81.9M windows/s vs 58.5M here vs 52.9M baseline at 256 fused batches);
+this kernel is kept as the explicit-DMA formulation — useful where the
+XLA gather lowering regresses, and as the scaffold for window shapes the
+gather path handles poorly.
 
-Why Pallas here: the XLA lowering of this op is gather-bound — on a v5e
-chip EVERY batched gather (window bytes, variant chunk, substitution
-codes) costs a near-fixed ~0.4-0.8 ms per dispatch regardless of element
-count, so the jnp kernels plateau around 2.5 ms per 64-window batch.
-This kernel replaces every gather with explicit, tile-aligned HBM->VMEM
-DMAs.  Mosaic's alignment rules shape the whole design: 2-D layouts
-everywhere (last dims a (8k, 128) tile), DMA sublane offsets that are
-provable multiples of 8 (so the coarse-search stride is one 1024-word
-tile), per-window scratch buffers (VMEM row slices don't lower), and
-in-VMEM residual shifts via ``pltpu.roll`` (dynamic rotates).  The
-genome is viewed as int32 words; substitution runs in word space over
-four byte planes, and the final word->byte unpack + 0..3 byte shift
-happens outside the kernel in XLA (pure elementwise).
+Design notes: every gather is replaced with explicit, tile-aligned
+HBM->VMEM DMAs.  Mosaic's alignment rules shape the whole design: 2-D
+layouts everywhere (last dims a (8k, 128) tile), DMA sublane offsets
+that are provable multiples of 8 (so the coarse-search stride is one
+1024-word tile), per-window scratch buffers (VMEM row slices don't
+lower), and in-VMEM residual shifts via ``pltpu.roll`` (dynamic
+rotates).  The genome is viewed as int32 words; substitution runs in
+word space over four byte planes, and the final word->byte unpack +
+0..3 byte shift happens outside the kernel in XLA (pure elementwise).
 
 Outputs are bit-equal to :func:`haplohyped_tpu.ops.haplotype_window.
-encode_haplotype_windows` (pinned by interpret-mode parity tests).
+encode_haplotype_windows` — pinned by the interpret-mode parity tests in
+``tests/test_window_kernels.py`` (edge cases: empty rows, overflow,
+duplicate positions, sampler-level draws).
 """
 
 from __future__ import annotations

@@ -15,6 +15,25 @@ from haplohyped_tpu.core.constants import SNP_STRUCT_DTYPE
 from haplohyped_tpu.hostio.frame_format import CHROM_CAP, CHROM_OFF
 
 
+def _set_u32(st: np.ndarray, name: str, values: np.ndarray) -> None:
+    """Write a u4 field of the packed SNP struct through a uint8 view.
+
+    The struct is PACKED (itemsize 35), so ``start``/``stop`` sit at
+    unaligned offsets and numpy's field-assignment path for them is ~100x
+    slower than a strided byte copy (measured 1.6s vs 0.018s for 2M rows —
+    it dominated whole-genome conversion).  Byte-level copy is exact for
+    the little-endian '<u4' fields."""
+    off = st.dtype.fields[name][1]
+    view = np.ndarray(
+        (st.shape[0], 4),
+        dtype=np.uint8,
+        buffer=st,
+        offset=off,
+        strides=(st.dtype.itemsize, 1),
+    )
+    view[:] = np.ascontiguousarray(values, dtype="<u4")[:, None].view(np.uint8)
+
+
 def snp_struct_from_decoded(
     decoded: dict[str, np.ndarray],
     chrom_bytes: np.ndarray,  # (N, 8) uint8, zero-padded
@@ -42,8 +61,8 @@ def snp_struct_from_decoded(
     out["chrom"] = (
         np.ascontiguousarray(chrom_bytes[idx]).view(f"S{CHROM_CAP}").ravel().astype("S5")
     )
-    out["start"] = decoded["start"][idx]
-    out["stop"] = decoded["stop"][idx]
+    _set_u32(out, "start", decoded["start"][idx])
+    _set_u32(out, "stop", decoded["stop"][idx])
     out["ref"] = np.ascontiguousarray(decoded["ref_char"][idx]).view("S1").astype("S10")
     out["alt"] = np.ascontiguousarray(decoded["alt_char"][idx]).view("S1").astype("S10")
     if with_sample:
@@ -99,8 +118,8 @@ def snp_structs_from_v2(
         idx = np.nonzero(keep)[0]
         st = np.empty(idx.shape[0], dtype=SNP_STRUCT_DTYPE)
         st["chrom"] = table_s5[chrom_id[idx]] if chrom_table else b""
-        st["start"] = start[idx]
-        st["stop"] = stop[idx]
+        _set_u32(st, "start", start[idx])
+        _set_u32(st, "stop", stop[idx])
         st["ref"] = np.ascontiguousarray(ref_char[idx]).view("S1").astype("S10")
         st["alt"] = np.ascontiguousarray(alt_char[idx]).view("S1").astype("S10")
         st["phase1"] = phase1[idx, s]
@@ -127,8 +146,8 @@ def snp_struct_from_frames12(
     # reference casts chrom to S5, silently truncating longer names
     table_s5 = np.array(chrom_table if chrom_table else [""], dtype="S5")
     out["chrom"] = table_s5[chrom_id[idx]] if chrom_table else b""
-    out["start"] = np.asarray(decoded["start"])[idx]
-    out["stop"] = np.asarray(decoded["stop"])[idx]
+    _set_u32(out, "start", np.asarray(decoded["start"])[idx])
+    _set_u32(out, "stop", np.asarray(decoded["stop"])[idx])
     out["ref"] = (
         np.ascontiguousarray(np.asarray(decoded["ref_char"])[idx]).view("S1").astype("S10")
     )

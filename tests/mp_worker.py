@@ -1,17 +1,25 @@
 """Multi-process conversion worker (spawned by test_multiprocess.py and
 benchmarks/scaling.py --processes).
 
-Each process owns 2 virtual CPU devices, joins a jax.distributed cluster at
+Each process owns its virtual CPU devices, joins a jax.distributed cluster at
 the given coordinator port, parses ONLY the (donor, chrom) tasks whose
-``P('data')`` rows live on its local devices, and participates in the
-all-gather merge (Gloo between CPU processes; the identical code rides ICI
-collectives on a real TPU slice).  Process 0 writes the merged cohort
-tensors to the given .npz.
+``P('data')`` rows live on its local devices — with the single-pass plan a
+process's block is a (chromosome, donor-run), costing ONE ``frame_v2`` pass
+per chromosome it touches — and participates in the all-gather merge (Gloo
+between CPU processes; the identical code rides ICI collectives on a real
+TPU slice).  Process 0 writes the merged cohort tensors to the given .npz.
+
+Scaling-methodology knobs (VERDICT r2 #5):
+- ``host_workers=1`` and ``threads=1``: one worker thread per process, so a
+  2-process run on a 2-core rig contends only on the resource under study;
+- a warmup conversion runs first and is EXCLUDED from the reported time
+  (jit compiles, page cache, Gloo channel setup all land in the warmup).
 
 Usage: mp_worker.py <port> <process_id> <num_processes> <data_dir> <out_npz>
        [--devices-per-proc N]
 """
 
+import glob
 import os
 import sys
 import time
@@ -60,13 +68,23 @@ def main() -> None:
     )
     with open(samples_file) as f:
         donors = [line.strip() for line in f if line.strip()]
-    vcf = os.path.join(data_dir, "chr22.filtered.vcf.gz")
+    # every chr{name}.filtered.vcf.gz in the corpus dir is a task axis entry
+    vcfs = sorted(glob.glob(os.path.join(data_dir, "chr*.filtered.vcf.gz")))
+    vcf_for = {
+        os.path.basename(p).split(".")[0]: p for p in vcfs
+    }
+    chroms = sorted(vcf_for)
 
     mesh = Mesh(np.array(jax.devices()), ("data",))
+
+    def convert():
+        return convert_sharded(
+            vcf_for, donors, chroms, mesh, threads=1, host_workers=1
+        )
+
+    convert()  # warmup: compiles, page cache, collective channels
     t0 = time.time()
-    cohort = convert_sharded(
-        {"chr22": vcf}, donors, ["chr22"], mesh, threads=1, host_workers=2
-    )
+    cohort = convert()
     elapsed = time.time() - t0
     print(f"proc {pid}/{nprocs}: converted in {elapsed:.2f}s", flush=True)
 

@@ -125,6 +125,44 @@ class TestSinglePassCohort:
                 b = fp[f"{donor}/chr_1/snp_data"][()]
                 np.testing.assert_array_equal(a, b, err_msg=donor)
 
+    def test_direct_write_equals_merge_write(self, cohort_dir, tmp_path):
+        """The direct-to-final single-writer path produces the same
+        datasets (values, dtype, Blosc cd_values, chunking) as the
+        reference-shaped temp-file + merge path."""
+        conv_kw = dict(
+            vcf_dir=str(cohort_dir),
+            sample_list_path=str(cohort_dir / "samples.txt"),
+            cores=2,
+            cxx_threads=2,
+            chromosomes=[1],
+            device_decode=False,
+            single_pass=True,
+        )
+        direct = VCFtoHDF5Converter(
+            cohort_name="dw", out_dir=str(tmp_path / "dw"),
+            direct_write=True, **conv_kw,
+        )
+        merged = VCFtoHDF5Converter(
+            cohort_name="mw", out_dir=str(tmp_path / "mw"),
+            direct_write=False, **conv_kw,
+        )
+        assert not any(r.error for r in direct.run())
+        assert not any(r.error for r in merged.run())
+        # direct mode must not leave temp shards behind
+        assert not os.path.exists(direct.tmp_dir) or not os.listdir(direct.tmp_dir)
+        with h5py.File(direct.config.final_h5_path) as fd, h5py.File(
+            merged.config.final_h5_path
+        ) as fm:
+            assert sorted(fd.keys()) == sorted(fm.keys())
+            for donor in fd.keys():
+                a = fd[f"{donor}/chr_1/snp_data"]
+                b = fm[f"{donor}/chr_1/snp_data"]
+                assert a.dtype == b.dtype
+                assert a.compression == b.compression
+                assert a.compression_opts == b.compression_opts
+                assert a.chunks == b.chunks
+                np.testing.assert_array_equal(a[()], b[()], err_msg=donor)
+
     def test_resume_skips_existing_shards(self, cohort_dir, tmp_path):
         conv = VCFtoHDF5Converter(
             cohort_name="spr",

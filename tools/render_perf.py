@@ -1,0 +1,203 @@
+#!/usr/bin/env python
+"""Render the documentation performance tables from a benchmark JSON.
+
+The README/ARCHITECTURE perf numbers drifted from the measured numbers in
+rounds 1 and 2; this makes the sync mechanical:
+
+- the canonical numbers live in ``benchmarks/latest_bench.json`` (one
+  ``bench.py`` JSON line, committed);
+- this script rewrites the marker-delimited blocks in ``README.md`` and
+  ``docs/ARCHITECTURE.md`` from that file;
+- ``tests/test_docs_sync.py`` runs it in ``--check`` mode, so the suite
+  FAILS whenever the docs and the committed numbers diverge.
+
+Refresh flow after a new benchmark run:
+
+    python tools/render_perf.py --import-from BENCH_r03.json   # or any bench JSON
+    python tools/render_perf.py --update
+
+Markers: ``<!-- perf:begin -->`` ... ``<!-- perf:end -->``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CANONICAL = os.path.join(ROOT, "benchmarks", "latest_bench.json")
+BEGIN, END = "<!-- perf:begin -->", "<!-- perf:end -->"
+
+#: reference (baseline) numbers — BASELINE.md; fixed publications
+REF = {
+    "parse_vps": 559_390,
+    "write_rps": 256_047,
+    "read_rps": 342_252,
+    "ratio": 6.5,
+    "slices": 1_597,
+    "wg_seconds": 18.0,
+}
+
+
+def _fmt_big(v: float) -> str:
+    if v >= 1e6:
+        return f"{v / 1e6:.1f}M"
+    if v >= 1e3:
+        return f"{v / 1e3:.0f}K"
+    return f"{v:.0f}"
+
+
+def load_numbers(path: str = CANONICAL) -> dict:
+    with open(path) as f:
+        data = json.load(f)
+    # accept either a raw bench JSON line or the driver's wrapper
+    return data.get("parsed", data)
+
+
+def render_readme_block(nums: dict) -> str:
+    st = nums.get("storage", {})
+    wg = nums.get("whole_genome", {})
+    vps = nums["value"]
+    wps = nums.get("windows_per_sec", 0)
+    rows = [
+        "| Metric | reference (Xeon) | this framework | speedup |",
+        "|---|---|---|---|",
+        f"| VCF parse+encode | {_fmt_big(REF['parse_vps'])} variants/s | "
+        f"{_fmt_big(vps)} variants/s | {vps / REF['parse_vps']:.1f}× |",
+        f"| haplotype windows | ~{_fmt_big(REF['slices'])} slices/s (HDF5 random access) | "
+        f"{_fmt_big(wps)} windows/s on device | >{int(wps / REF['slices'] // 100 * 100) if wps else 0}× |",
+    ]
+    if st:
+        rows += [
+            f"| HDF5+Blosc write | {_fmt_big(REF['write_rps'])} rec/s | "
+            f"{_fmt_big(st['write_rec_per_sec'])} rec/s | "
+            f"{st['write_rec_per_sec'] / REF['write_rps']:.0f}× |",
+            f"| HDF5+Blosc read | {_fmt_big(REF['read_rps'])} rec/s | "
+            f"{_fmt_big(st['read_rec_per_sec'])} rec/s | "
+            f"{st['read_rec_per_sec'] / REF['read_rps']:.0f}× |",
+            f"| compression ratio | {REF['ratio']}× | {st['ratio']}× | — |",
+            f"| HDF5 random slices | {REF['slices']:,}/s | "
+            f"{st['random_slices_per_sec']:,}/s | "
+            f"{st['random_slices_per_sec'] / REF['slices']:.1f}× |",
+        ]
+    if wg:
+        rows.append(
+            f"| whole genome (3M variants → cohort HDF5) | ~{REF['wg_seconds']:.0f}s | "
+            f"{wg['seconds']}s | {REF['wg_seconds'] / wg['seconds']:.1f}× |"
+        )
+    fasta = nums.get("fasta")
+    if fasta:
+        rows.append(
+            f"| FASTA one-hot encode | — | "
+            f"{_fmt_big(fasta['bases_per_sec'])} bases/s | — |"
+        )
+    tail = [
+        "",
+        "All throughputs are MEDIANS over ≥10 content-fresh iterations "
+        "(best-of is reported secondarily in the bench JSON; the tunneled "
+        "link shows large run-to-run spread, so medians decide).",
+    ]
+    dr = nums.get("device_roofline")
+    if dr:
+        tail.append(
+            f"Device-resident decode (no host↔device transfer in the timed "
+            f"region): {_fmt_big(dr['variants_per_sec'])} variants/s = "
+            f"{dr['gb_per_sec']} GB/s of HBM traffic "
+            f"({dr['hbm_peak_fraction'] * 100:.1f}% of v5e peak)."
+        )
+    return "\n".join(rows + tail)
+
+
+def render_arch_block(nums: dict) -> str:
+    lines = ["Measured medians from the committed benchmark run", ""]
+    d12 = nums.get("decode12")
+    if d12:
+        xla = d12.get("xla", {})
+        pal = d12.get("pallas", {})
+        lines.append(
+            f"- decode12 upload+decode: XLA {xla.get('vps', 0):,} variants/s "
+            f"(median {xla.get('median_s', 0)}s, IQR {xla.get('iqr_s', 0)}s) vs "
+            f"Pallas {pal.get('vps', 0):,} variants/s "
+            f"(median {pal.get('median_s', 0)}s, IQR {pal.get('iqr_s', 0)}s) — "
+            f"median winner: **{d12.get('winner', '?')}** (the converter default)."
+        )
+    wk = nums.get("window_kernels")
+    if wk:
+        parts = [
+            f"{k} {v['windows_per_sec']:,}/s"
+            for k, v in wk.items()
+            if isinstance(v, dict) and "windows_per_sec" in v
+        ]
+        lines.append(
+            f"- window kernels (windows/s at median): {', '.join(parts)} — "
+            f"median winner: **{wk.get('winner', '?')}** (the sampler default, "
+            f"`SamplerConfig.window_kernel`)."
+        )
+    dr = nums.get("device_roofline")
+    if dr:
+        lines.append(
+            f"- device-resident decode roofline: {dr['gb_per_sec']} GB/s "
+            f"achieved = {dr['hbm_peak_fraction'] * 100:.1f}% of v5e HBM peak "
+            f"(819 GB/s) — decode is dispatch-bound at this record count, "
+            f"not bandwidth-bound."
+        )
+    return "\n".join(lines)
+
+
+def splice(path: str, block: str) -> tuple[str, str]:
+    with open(path) as f:
+        text = f.read()
+    if BEGIN not in text or END not in text:
+        raise SystemExit(f"{path}: perf markers not found")
+    pre, rest = text.split(BEGIN, 1)
+    _, post = rest.split(END, 1)
+    new = f"{pre}{BEGIN}\n{block}\n{END}{post}"
+    return text, new
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--check", action="store_true", help="fail if docs are stale")
+    ap.add_argument("--update", action="store_true", help="rewrite the docs blocks")
+    ap.add_argument(
+        "--import-from", help="copy a bench JSON (driver wrapper or raw line) "
+        "into benchmarks/latest_bench.json first"
+    )
+    args = ap.parse_args()
+
+    if args.import_from:
+        nums = load_numbers(args.import_from)
+        with open(CANONICAL, "w") as f:
+            json.dump(nums, f, indent=2, sort_keys=True)
+            f.write("\n")
+        print(f"imported {args.import_from} -> {CANONICAL}")
+
+    nums = load_numbers()
+    targets = [
+        (os.path.join(ROOT, "README.md"), render_readme_block(nums)),
+        (os.path.join(ROOT, "docs", "ARCHITECTURE.md"), render_arch_block(nums)),
+    ]
+    stale = []
+    for path, block in targets:
+        old, new = splice(path, block)
+        if old != new:
+            stale.append(path)
+            if args.update:
+                with open(path, "w") as f:
+                    f.write(new)
+                print(f"updated {path}")
+    if args.check and stale:
+        print(
+            "stale perf docs (run `python tools/render_perf.py --update`): "
+            + ", ".join(stale),
+            file=sys.stderr,
+        )
+        raise SystemExit(1)
+    if not args.check and not args.update and not args.import_from:
+        print("nothing to do (pass --check or --update)")
+
+
+if __name__ == "__main__":
+    main()
