@@ -145,6 +145,17 @@ def _load() -> ctypes.CDLL | None:
                     + [ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_void_p)]
                     + [ctypes.c_char_p, ctypes.c_int]
                 )
+                lib.hh_bcf_parse_v2.argtypes = (
+                    [
+                        ctypes.c_char_p,
+                        ctypes.POINTER(ctypes.c_int32),
+                        ctypes.c_int32,
+                        ctypes.c_int,
+                    ]
+                    + [ctypes.POINTER(ctypes.c_void_p)] * 11
+                    + [ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_void_p)]
+                    + [ctypes.c_char_p, ctypes.c_int]
+                )
                 lib.hh_fasta_open.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
                 lib.hh_fasta_open.restype = ctypes.c_void_p
                 lib.hh_fasta_close.argtypes = [ctypes.c_void_p]
@@ -619,6 +630,64 @@ def bcf_parse(path: str, sample: str | None, threads: int = 1) -> dict:
         "phase1": arr(ptrs[7], np.int8, nn),
         "phase2": arr(ptrs[8], np.int8, nn),
         "bcf_flags": arr(ptrs[9], np.uint8, nn),
+    }
+    raw = ctypes.string_at(contigs_p)
+    out["contigs"] = raw.decode().split("\n") if raw else []
+    for p in ptrs:
+        lib.hh_free(p)
+    lib.hh_free(contigs_p)
+    return out
+
+
+def bcf_parse_v2(path: str, want_idx: np.ndarray, threads: int = 1) -> dict:
+    """Single-pass multi-sample BCF parse: shared per-record columns plus
+    (N, S) genotype matrices for the samples at header indices ``want_idx``
+    (slot order).  The BCF twin of :func:`vcf_frame_v2` + decode."""
+    lib = _load()
+    assert lib is not None
+    want = np.ascontiguousarray(want_idx, dtype=np.int32)
+    S = int(want.shape[0])
+    ptrs = [ctypes.c_void_p() for _ in range(11)]
+    n = ctypes.c_int64()
+    contigs_p = ctypes.c_void_p()
+    err = ctypes.create_string_buffer(512)
+    rc = lib.hh_bcf_parse_v2(
+        path.encode(),
+        want.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        S,
+        threads,
+        *[ctypes.byref(p) for p in ptrs],
+        ctypes.byref(n),
+        ctypes.byref(contigs_p),
+        err,
+        512,
+    )
+    if rc != 0:
+        raise RuntimeError(err.value.decode() or f"hh_bcf_parse_v2 failed ({rc})")
+    nn = int(n.value)
+
+    def arr(p, dtype, count):
+        if count == 0:
+            return np.zeros(0, dtype)
+        ct = {
+            np.int32: ctypes.c_int32,
+            np.uint8: ctypes.c_uint8,
+            np.int8: ctypes.c_int8,
+        }[dtype]
+        return np.ctypeslib.as_array(ctypes.cast(p, ctypes.POINTER(ct)), shape=(count,)).copy()
+
+    out = {
+        "rid": arr(ptrs[0], np.int32, nn),
+        "start": arr(ptrs[1], np.int32, nn),
+        "stop": arr(ptrs[2], np.int32, nn),
+        "ref_char": arr(ptrs[3], np.uint8, nn),
+        "alt_char": arr(ptrs[4], np.uint8, nn),
+        "ref_len": arr(ptrs[5], np.int32, nn),
+        "alt_len": arr(ptrs[6], np.int32, nn),
+        "snp_flags": arr(ptrs[7], np.uint8, nn),
+        "phase1": arr(ptrs[8], np.int8, nn * S).reshape(nn, S),
+        "phase2": arr(ptrs[9], np.int8, nn * S).reshape(nn, S),
+        "valid": arr(ptrs[10], np.uint8, nn * S).reshape(nn, S),
     }
     raw = ctypes.string_at(contigs_p)
     out["contigs"] = raw.decode().split("\n") if raw else []

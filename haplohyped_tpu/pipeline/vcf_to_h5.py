@@ -459,7 +459,21 @@ class VCFtoHDF5Converter:
                 return results
 
         if is_bcf(data_path):
-            # BCF2 framing is per-sample; route through the donor fan-out
+            # BCF2 single-pass: one native record walk emits every donor's
+            # genotype matrix (hh_bcf_parse_v2) — same struct path as VCF.
+            # Fall back to the donor fan-out only for >255-contig files
+            # (the uint8 chrom-id table) or native-shim failures.
+            try:
+                return self._convert_chromosome_bcf(
+                    data_path, chromosome, chrom_str, todo, results, writer, t0
+                )
+            except ValueError as exc:
+                logger.info(
+                    "BCF single-pass unavailable for %s (%s); using the "
+                    "per-donor path",
+                    data_path,
+                    exc,
+                )
             for d in todo:
                 results.append(self.genotype_vcf_to_hdf5(data_path, d, chromosome))
             return results
@@ -489,6 +503,52 @@ class VCFtoHDF5Converter:
                 decoded, frame.chroms, frame.samples, chrom_filter=chrom_str
             )
         GLOBAL_METRICS.count("records_seen", frame.total_seen)
+        self._write_donor_structs(
+            structs, todo, chromosome, chrom_str, frame.total_seen, results,
+            writer, t0,
+        )
+        return results
+
+    def _convert_chromosome_bcf(
+        self, data_path, chromosome, chrom_str, todo, results, writer, t0
+    ) -> List[TaskResult]:
+        """BCF leg of the single-pass unit: one native record walk emits
+        every donor's genotype matrix; struct assembly and writes are the
+        same code as the VCF leg."""
+        from haplohyped_tpu.hostio.bcf import bcf_decoded_v2, bcf_samples
+        from haplohyped_tpu.pipeline.records import snp_structs_from_v2
+
+        header = set(bcf_samples(data_path, self.cxx_threads))
+        missing = [d for d in todo if d not in header]
+        for d in missing:
+            err = RuntimeError(f"sample not found in BCF header: {d}")
+            logger.error("donor %s chr%s: %s", d, chromosome, err)
+            results.append(TaskResult(donor_id=d, chromosome=chromosome, error=err))
+        todo = [d for d in todo if d in header]
+        if not todo:
+            return results
+
+        with GLOBAL_METRICS.timer("parse"):
+            decoded, contigs = bcf_decoded_v2(data_path, todo, self.cxx_threads)
+            if len(contigs) > 255:
+                raise ValueError(f"{len(contigs)} contigs exceeds the chrom-id table")
+            structs = snp_structs_from_v2(
+                decoded, contigs, todo, chrom_filter=chrom_str
+            )
+        n_seen = int(decoded["start"].shape[0])
+        GLOBAL_METRICS.count("records_seen", n_seen)
+        self._write_donor_structs(
+            structs, todo, chromosome, chrom_str, n_seen, results, writer, t0
+        )
+        return results
+
+    def _write_donor_structs(
+        self, structs, todo, chromosome, chrom_str, total_seen, results,
+        writer, t0,
+    ) -> None:
+        """Write each donor's struct (direct writer or temp shard) with
+        per-donor failure isolation."""
+        import h5py
 
         per_donor_s = (time.time() - t0) / max(len(todo), 1)
         with GLOBAL_METRICS.timer("h5_write"):
@@ -496,7 +556,7 @@ class VCFtoHDF5Converter:
                 res = TaskResult(
                     donor_id=d,
                     chromosome=chromosome,
-                    n_records=frame.total_seen,
+                    n_records=total_seen,
                     seconds=per_donor_s,
                 )
                 try:
@@ -525,7 +585,6 @@ class VCFtoHDF5Converter:
                     logger.error("donor %s chr%s write failed: %s", d, chromosome, e)
                     res.error = e
                 results.append(res)
-        return results
 
     def process_donor(self, donor_id: str) -> List[TaskResult]:
         """All chromosomes for one donor (reference ``vcf_to_h5.py:142-152``)."""

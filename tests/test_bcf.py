@@ -70,6 +70,84 @@ class TestParsedValues:
             bcf_decoded_columns(bcf_path, "ghost")
 
 
+class TestSinglePassV2:
+    def test_multi_sample_matches_per_sample(self, corpus, bcf_path):
+        """hh_bcf_parse_v2 (one pass, all donors) must equal the per-sample
+        parse for every donor."""
+        from haplohyped_tpu.hostio.bcf import bcf_decoded_v2
+        from haplohyped_tpu.pipeline.records import snp_structs_from_v2
+
+        decoded, contigs = bcf_decoded_v2(bcf_path, corpus["samples"], threads=2)
+        structs = snp_structs_from_v2(
+            decoded, contigs, corpus["samples"], chrom_filter=corpus["chrom"]
+        )
+        for sample in corpus["samples"]:
+            dec = bcf_decoded_columns(bcf_path, sample, threads=2)
+            expected = snp_struct_from_decoded(
+                dec, dec["chrom"], chrom_filter=corpus["chrom"]
+            )
+            assert np.array_equal(structs[sample], expected), sample
+
+    def test_unknown_sample_raises(self, bcf_path, corpus):
+        from haplohyped_tpu.hostio.bcf import bcf_decoded_v2
+
+        with pytest.raises(RuntimeError, match="sample not found"):
+            bcf_decoded_v2(bcf_path, corpus["samples"][:1] + ["ghost"])
+
+    def test_converter_single_pass_reads_once(self, corpus, bcf_path, tmp_path):
+        """The converter routes BCF through the single-pass path: one
+        native file read for ALL donors (not one per donor), and the
+        artifact equals the text-VCF conversion of the same cohort."""
+        import shutil
+
+        import h5py
+
+        from haplohyped_tpu.pipeline.vcf_to_h5 import VCFtoHDF5Converter
+
+        vcf_dir = tmp_path / "bcfs"
+        vcf_dir.mkdir()
+        shutil.copy(bcf_path, vcf_dir / "chr22.filtered.vcf.gz")
+
+        before = native.DECOMPRESS_COUNT
+        conv = VCFtoHDF5Converter(
+            cohort_name="bcfsp",
+            vcf_dir=str(vcf_dir),
+            out_dir=str(tmp_path / "out_bcf"),
+            sample_list_path=corpus["samples_file"],
+            cores=1,
+            cxx_threads=1,
+            chromosomes=[22],
+        )
+        results = conv.run()
+        assert all(r.error is None for r in results)
+        # one read for the header/sample probe + one for the parse; never
+        # one per donor (3 donors would be >= 3)
+        reads = native.DECOMPRESS_COUNT - before
+        assert reads <= 2, f"BCF read {reads} times for 3 donors"
+
+        conv_vcf = VCFtoHDF5Converter(
+            cohort_name="vcfsp",
+            vcf_dir=corpus["dir"],
+            out_dir=str(tmp_path / "out_vcf"),
+            sample_list_path=corpus["samples_file"],
+            cores=1,
+            cxx_threads=1,
+            chromosomes=[22],
+            device_decode=False,
+        )
+        assert all(r.error is None for r in conv_vcf.run())
+        with h5py.File(conv.config.final_h5_path) as fb, h5py.File(
+            conv_vcf.config.final_h5_path
+        ) as fv:
+            assert sorted(fb.keys()) == sorted(fv.keys())
+            for donor in fb.keys():
+                np.testing.assert_array_equal(
+                    fb[f"{donor}/chr_22/snp_data"][()],
+                    fv[f"{donor}/chr_22/snp_data"][()],
+                    err_msg=donor,
+                )
+
+
 class TestConverterIntegration:
     def test_converter_accepts_bcf(self, corpus, bcf_path, tmp_path):
         import os
