@@ -137,8 +137,8 @@ def make_fused_train_step(model: HaploFormer, tx, sampler, mesh: Mesh | None = N
 
     from haplohyped_tpu.data.sampler import _sample_batch
 
-    flat, offsets, lengths = sampler._genome_dev
-    pos, ref, alt, p1, p2, counts = sampler._cohort_dev
+    _, _, lengths = sampler._genome_dev
+    enc = sampler._enc
     regions = sampler._regions_dev
     base_key = sampler._base_key
     cfg = sampler.config
@@ -147,22 +147,18 @@ def make_fused_train_step(model: HaploFormer, tx, sampler, mesh: Mesh | None = N
         batch = _sample_batch(
             base_key,
             step_idx,
-            flat,
-            offsets,
             lengths,
             regions,
-            pos,
-            ref,
-            alt,
-            p1,
-            p2,
-            counts,
+            enc,
             L=cfg.seq_length,
             K=cfg.max_variants_per_window,
             B=cfg.batch_size,
+            D=sampler.cohort.num_donors,
             num_channels=sampler.num_channels,
             onehot_dtype=sampler.onehot_dtype,
             emit_onehot=sampler.emit_onehot,
+            kernel=sampler.kernel,
+            interpret=sampler._interpret,
         )
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, model, batch.hap1, batch.hap2, batch.n_variants
