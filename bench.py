@@ -1042,9 +1042,19 @@ def main() -> None:
 
         jax.config.update("jax_platforms", "cpu")
     _jax_cache_config()
-    from haplohyped_tpu.utils.malloc_tune import tune_malloc
+    from haplohyped_tpu.utils.malloc_tune import (
+        enable_thp,
+        prefault_arena,
+        tune_malloc,
+    )
 
     tune_malloc()  # this rig faults fresh pages at ~27 MB/s; reuse arenas
+    if enable_thp():  # 2 MB faults: 512x fewer hypervisor round-trips
+        log("transparent hugepages enabled (system-wide)")
+    # absorb the arena's first-touch cost (0.2-2s of hypervisor page
+    # provisioning for the whole-genome stage's ~400 MB working set)
+    # behind the minutes of stages that run before it
+    prefault_arena(512 << 20)
     # 2x oversubscription hides chunk imbalance + page-fault stalls in the
     # native framer (measured: 0.252s at 4 threads vs 0.317s at 2 on a
     # 2-core host)
@@ -1060,6 +1070,12 @@ def main() -> None:
         return budget * 0.8 - (time.time() - t_start)
 
     exec_ok, d2h_ok = device_health()
+    if exec_ok and d2h_ok:
+        # pre-start the converter's link-bandwidth probe so its jax
+        # bring-up overlaps the stages that run before whole_genome
+        from haplohyped_tpu.pipeline.vcf_to_h5 import _start_d2h_probe
+
+        _start_d2h_probe()
     if not exec_ok:
         # a wedged device would hang block_until_ready; bail so the
         # orchestrator falls back to the CPU platform

@@ -45,6 +45,13 @@ def _encode_onehot_and_codes(raw: bytes, device: bool = True):
     """bytes -> (onehot uint8 (L, C), codes int8 (L,))."""
     arr = np.frombuffer(raw, dtype=np.uint8)
     if device:
+        # the one-hot must come back to the host for the HDF5 writer, and a
+        # wedged device->host link HANGS device_get (try/except can't catch
+        # it) — gate on the converter's subprocess health probe
+        from haplohyped_tpu.pipeline.vcf_to_h5 import _device_transfer_healthy
+
+        device = _device_transfer_healthy(wait_s=0.1)
+    if device:
         try:
             import jax
 

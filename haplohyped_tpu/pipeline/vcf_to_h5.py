@@ -52,9 +52,36 @@ _device_lock = threading.Lock()
 
 _d2h_ok: bool | None = None
 
+#: Measured host<->device link bandwidths (MB/s) from the health probe's
+#: 16 MB round-trip; None until the probe completes (or if it failed).
+_h2d_mbps: float | None = None
+_d2h_mbps: float | None = None
+
 
 _probe_proc = None
 _probe_t0: float | None = None
+
+#: Probe payload: after the tiny exec+d2h sanity check, time a 16 MB
+#: upload and download so the converter can PROJECT what shipping a real
+#: frame's decode output would cost (tunneled relays execute fine but
+#: move bytes 100x slower than PCIe — a boolean health bit can't see that).
+_PROBE_SRC = (
+    # nice(10) first: the probe's jax bring-up is seconds of CPU and must
+    # not steal cores from the conversion it runs alongside (done here
+    # rather than via preexec_fn, which would force a fork() under the
+    # parent's multithreaded jax runtime)
+    "import os; os.nice(10);"
+    "import time, jax, numpy as np;"
+    "x = jax.jit(lambda a: a * 2)(jax.numpy.arange(16));"
+    "assert int(np.asarray(jax.device_get(x))[1]) == 2;"
+    "a = np.ones(4 * 1024 * 1024, np.int32);"
+    "t0 = time.time(); d = jax.device_put(a); d.block_until_ready();"
+    "up = time.time() - t0;"
+    "t0 = time.time(); b = np.asarray(jax.device_get(d));"
+    "dn = time.time() - t0;"
+    "print('HH_LINK_MBPS %.1f %.1f'"
+    " % (16.0 / max(up, 1e-6), 16.0 / max(dn, 1e-6)), flush=True)"
+)
 
 
 def _start_d2h_probe() -> None:
@@ -71,21 +98,17 @@ def _start_d2h_probe() -> None:
         if _probe_proc is not None or _d2h_ok is not None:
             return
         _probe_proc = subprocess.Popen(
-            [
-                _sys.executable,
-                "-c",
-                "import jax, numpy as np;"
-                "x = jax.jit(lambda a: a * 2)(jax.numpy.arange(16));"
-                "assert int(np.asarray(jax.device_get(x))[1]) == 2",
-            ],
-            stdout=subprocess.DEVNULL,
+            [_sys.executable, "-c", _PROBE_SRC],
+            stdout=subprocess.PIPE,
             stderr=subprocess.DEVNULL,
             env=dict(os.environ),
         )
         _probe_t0 = time.time()
 
 
-def _device_transfer_healthy(timeout_s: float | None = None) -> bool:
+def _device_transfer_healthy(
+    timeout_s: float | None = None, wait_s: float | None = None
+) -> bool:
     """Probe device->host transfer once per process, in a SUBPROCESS.
 
     Remote/tunneled accelerators can wedge on d2h while executing fine; the
@@ -98,7 +121,7 @@ def _device_transfer_healthy(timeout_s: float | None = None) -> bool:
     (and the hung thread aborts the C++ runtime at interpreter teardown).
     A killed subprocess leaves both this process and the relay clean.
     """
-    global _d2h_ok, _probe_proc
+    global _d2h_ok, _probe_proc, _h2d_mbps, _d2h_mbps
     import subprocess
 
     if timeout_s is None:
@@ -110,10 +133,32 @@ def _device_transfer_healthy(timeout_s: float | None = None) -> bool:
         if _d2h_ok is not None:
             return _d2h_ok
         assert _probe_proc is not None and _probe_t0 is not None
-        remaining = max(0.5, timeout_s - (time.time() - _probe_t0))
+        hard_deadline = _probe_t0 + timeout_s
+        if wait_s is not None:
+            # impatient caller: wait at most wait_s, but never past the
+            # hard timeout (at which point the probe is declared dead)
+            deadline = min(time.time() + wait_s, hard_deadline)
+        else:
+            deadline = hard_deadline
+        remaining = max(0.05, deadline - time.time())
         try:
-            _d2h_ok = _probe_proc.wait(timeout=remaining) == 0
+            out, _ = _probe_proc.communicate(timeout=remaining)
+            _d2h_ok = _probe_proc.returncode == 0
+            for line in (out or b"").decode(errors="replace").splitlines():
+                if line.startswith("HH_LINK_MBPS"):
+                    _, up, dn = line.split()
+                    _h2d_mbps, _d2h_mbps = float(up), float(dn)
+                    logger.info(
+                        "device link probe: h2d %.0f MB/s, d2h %.0f MB/s",
+                        _h2d_mbps,
+                        _d2h_mbps,
+                    )
         except subprocess.TimeoutExpired:
+            if wait_s is not None and time.time() < hard_deadline:
+                # verdict pending: leave the probe running; the caller
+                # proceeds with the host path and a later task may still
+                # get the device once the probe resolves
+                return False
             _probe_proc.kill()
             try:  # reap: an unwaited kill leaves a zombie for process life
                 _probe_proc.wait(timeout=5)
@@ -158,6 +203,33 @@ def _pad_records_v2(fixed: np.ndarray, gt: np.ndarray, bucket_min: int = 4096):
     return fp, gp
 
 
+_host_decode_rate: float | None = None  # records/s, measured once per process
+
+
+def _measure_host_rate(fixed: np.ndarray, gt: np.ndarray) -> float:
+    """Time the numpy v2 decoder on a slice of the real frame (inert side
+    arrays: all-pad exceptions and a single chrom run give representative
+    arithmetic without caring about POS correctness)."""
+    global _host_decode_rate
+    if _host_decode_rate is not None:
+        return _host_decode_rate
+    from haplohyped_tpu.ops.vcf_decode import decode_frames_v2_numpy
+
+    m = min(131072, fixed.shape[0])
+    exc = np.full(8, m, dtype=np.int64)
+    t0 = time.time()
+    decode_frames_v2_numpy(
+        fixed[:m],
+        gt[:m],
+        exc,
+        np.zeros(8, np.uint32),
+        np.asarray([m] + [0] * 7, np.int64),
+        np.zeros(8, np.uint8),
+    )
+    _host_decode_rate = m / max(time.time() - t0, 1e-6)
+    return _host_decode_rate
+
+
 def _decode_v2(frame, device: bool) -> dict[str, np.ndarray]:
     """Decode a FrameV2 (all samples at once) on device or host; pad rows
     are sliced back off before returning."""
@@ -169,11 +241,51 @@ def _decode_v2(frame, device: bool) -> dict[str, np.ndarray]:
 
     n = frame.n
     exc_idx, exc_pos, run_counts, run_ids = pad_v2_sides(frame)
+    if device and n >= 200_000 and _h2d_mbps is not None and _d2h_mbps is not None:
+        s = frame.gt.shape[1] if frame.gt.ndim == 2 else 0
+        up_bytes = n * (5 + s)  # fixed(5) + gt(s) wire bytes
+        down_bytes = n * (12 + 3 * s)  # struct-assembly columns only
+        # 2x on the transfer terms: sustained multi-MB transfers run well
+        # below the 16 MB probe's burst rate, and the cost of wrongly
+        # choosing the device (seconds, link can degrade mid-run) dwarfs
+        # the cost of wrongly choosing the host (~0.1s on real cohorts)
+        t_dev = (
+            2 * up_bytes / (_h2d_mbps * 1e6)
+            + 2 * down_bytes / (_d2h_mbps * 1e6)
+            + 0.15  # dispatch + pad/convert slack
+        )
+        t_host = n / _measure_host_rate(frame.fixed, frame.gt)
+        if t_host < t_dev:
+            # Decoded output must come back to the host for the HDF5 writer
+            # either way; on a slow tunneled link the d2h leg alone exceeds
+            # the whole host decode, so route around the accelerator.  On a
+            # directly-attached chip (GB/s PCIe) the device path projects
+            # faster at any real cohort size and stays the default.
+            logger.info(
+                "link-aware decode: host path (projected device %.2fs vs "
+                "host %.2fs for %d records x %d samples at h2d %.0f / "
+                "d2h %.0f MB/s)",
+                t_dev,
+                t_host,
+                n,
+                s,
+                _h2d_mbps,
+                _d2h_mbps,
+            )
+            device = False
     if device and n > 0:
         import jax
 
         fixed, gt = _pad_records_v2(frame.fixed, frame.gt)
         dec = decode_frames_v2(fixed, gt, exc_idx, exc_pos, run_counts, run_ids)
+        # ship back only the columns struct assembly reads (12 + 3S bytes
+        # per record instead of 17 + 5S) — d2h is the dominant cost of the
+        # device path when the output lands in HDF5
+        needed = (
+            "start", "stop", "ref_char", "alt_char", "chrom_id",
+            "snp_mask", "well_formed", "phase1", "phase2", "valid",
+        )
+        dec = {k: dec[k] for k in needed}
         out = {k: np.asarray(v) for k, v in jax.device_get(dec).items()}
     else:
         out = decode_frames_v2_numpy(
@@ -275,9 +387,27 @@ class VCFtoHDF5Converter:
         # keep freed frame/decode/struct buffers in the malloc arena — on
         # fault-bound virtualized hosts the default munmap-on-free policy
         # re-pays seconds of page faults per chromosome task
-        from haplohyped_tpu.utils.malloc_tune import tune_malloc
+        from haplohyped_tpu.utils.malloc_tune import prefault_arena, tune_malloc
 
         tune_malloc()
+        # absorb first-touch page faults (seconds on fault-bound virtual
+        # hosts) in the background while framing runs: peak arena need is
+        # ~10x the compressed input (frame + decode columns + structs)
+        try:
+            total_gz = sum(
+                os.path.getsize(cfg.vcf_path(c))
+                for c in cfg.chromosomes
+                if os.path.exists(cfg.vcf_path(c))
+            )
+        except OSError:
+            total_gz = 0
+        if total_gz:
+            prefault_arena(min(max(10 * total_gz, 64 << 20), 3 << 29))
+        if cfg.device_decode:
+            # overlap the probe subprocess's jax bring-up (seconds on a
+            # tunneled relay) with everything between construction and the
+            # first decode; run() re-calls this (no-op once started)
+            _start_d2h_probe()
         self.results: List[TaskResult] = []
 
     # -- inputs ---------------------------------------------------------
@@ -328,7 +458,9 @@ class VCFtoHDF5Converter:
                     group_path = f"donor_{donor_id}/chr_{chromosome}"
                     group = h5_gen_file.create_group(group_path)
                     group.create_dataset(
-                        SNP_DATASET_NAME, data=snp_struct, **cohort_compression_kwargs()
+                        SNP_DATASET_NAME,
+                        data=snp_struct,
+                        **cohort_compression_kwargs(snp_struct.shape[0]),
                     )
                 GLOBAL_METRICS.count("h5_bytes", snp_struct.nbytes)
                 logger.info(
@@ -356,7 +488,7 @@ class VCFtoHDF5Converter:
             struct = snp_struct_from_decoded(decoded, decoded["chrom"], chrom_filter=chrom_str)
             return struct, int(decoded["start"].shape[0])
 
-        if self.config.device_decode and _device_transfer_healthy():
+        if self.config.device_decode and _device_transfer_healthy(wait_s=0.1):
             # Preferred path: compact 12-byte frames (5.3x fewer bytes to the
             # device than the 64-byte layout) -> jit decode kernel.
             try:
@@ -385,7 +517,7 @@ class VCFtoHDF5Converter:
             self.config.device_decode
             and self.config.use_tokenizer
             and native.native_available()
-            and _device_transfer_healthy()
+            and _device_transfer_healthy(wait_s=0.1)
         ):
             vt = native.vcf_text(data_path, threads=self.cxx_threads)
             try:
@@ -407,7 +539,7 @@ class VCFtoHDF5Converter:
 
         src = VCFSource(data_path, threads=self.cxx_threads)
         framed = src.frame(sample=donor_id, region=chrom_str)
-        use_device = self.config.device_decode and _device_transfer_healthy()
+        use_device = self.config.device_decode and _device_transfer_healthy(wait_s=0.1)
         if use_device:
             with _device_lock:
                 decoded = _decode(framed.records, True)
@@ -493,7 +625,7 @@ class VCFtoHDF5Converter:
 
         with GLOBAL_METRICS.timer("parse"):
             frame = src.frame_v2(samples=todo, region=chrom_str)
-            use_device = self.config.device_decode and _device_transfer_healthy()
+            use_device = self.config.device_decode and _device_transfer_healthy(wait_s=0.1)
             if use_device:
                 with _device_lock:
                     decoded = _decode_v2(frame, True)
@@ -572,7 +704,7 @@ class VCFtoHDF5Converter:
                             group.create_dataset(
                                 SNP_DATASET_NAME,
                                 data=snp_struct,
-                                **cohort_compression_kwargs(),
+                                **cohort_compression_kwargs(snp_struct.shape[0]),
                             )
                     GLOBAL_METRICS.count("h5_bytes", snp_struct.nbytes)
                     logger.info(
@@ -653,7 +785,7 @@ class VCFtoHDF5Converter:
                     group.create_dataset(
                         SNP_DATASET_NAME,
                         data=snp_struct,
-                        **cohort_compression_kwargs(),
+                        **cohort_compression_kwargs(snp_struct.shape[0]),
                     )
 
         try:

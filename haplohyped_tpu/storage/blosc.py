@@ -118,18 +118,34 @@ def blosc_available() -> bool:
     return register_blosc_filter()
 
 
-def cohort_compression_kwargs() -> dict:
+#: Rows per chunk for large cohort tables.  h5py's auto-chunking picks
+#: ~50 KB chunks for the 35-byte SNP struct, which defeats Blosc's
+#: internal threading and pays per-chunk filter overhead; 256K-row (~9 MB)
+#: chunks measure 0.40s vs 0.67s for a 3M-row write on this rig AND
+#: compress better (13.5 vs 14.8 MB).  Value/dtype/cd_values parity with
+#: the reference artifact is unchanged — chunk shape is a private layout
+#: detail any HDF5 reader handles transparently.
+COHORT_CHUNK_ROWS = 262_144
+
+
+def cohort_compression_kwargs(n_records: int | None = None) -> dict:
     """``h5py.create_dataset`` kwargs for cohort SNP tables.
 
-    Blosc 32001 with the reference's cd_values when available, gzip otherwise.
+    Blosc 32001 with the reference's cd_values when available, gzip
+    otherwise.  With ``n_records``, picks the measured-fastest explicit
+    chunk shape for that row count; without it, h5py auto-chunks.
     """
+    if n_records is None or n_records <= 0:
+        chunks: bool | tuple = True
+    else:
+        chunks = (min(COHORT_CHUNK_ROWS, n_records),)
     if register_blosc_filter():
         return {
             "compression": BLOSC_FILTER_ID,
             "compression_opts": COHORT_COMPRESSION_OPTS,
-            "chunks": True,
+            "chunks": chunks,
         }
-    return {"compression": "gzip", "compression_opts": 4, "chunks": True}
+    return {"compression": "gzip", "compression_opts": 4, "chunks": chunks}
 
 
 def reference_compression_kwargs(chunks: bool | tuple = True) -> dict:

@@ -20,12 +20,14 @@ from __future__ import annotations
 import ctypes
 import ctypes.util
 import logging
+import threading
 
 logger = logging.getLogger(__name__)
 
 # glibc mallopt parameter numbers (malloc.h)
 M_TRIM_THRESHOLD = -1
 M_MMAP_THRESHOLD = -3
+M_ARENA_MAX = -8
 
 _done = False
 
@@ -41,8 +43,90 @@ def tune_malloc(threshold_bytes: int = 1 << 30) -> bool:
         libc = ctypes.CDLL(ctypes.util.find_library("c") or "libc.so.6", use_errno=True)
         ok1 = libc.mallopt(M_MMAP_THRESHOLD, threshold_bytes)
         ok2 = libc.mallopt(M_TRIM_THRESHOLD, threshold_bytes)
+        # one shared arena: worker threads otherwise allocate from fresh
+        # per-thread mmap'd arenas, bypassing every page the main arena
+        # prefaulted (allocation is rare and large here, so arena-lock
+        # contention is irrelevant)
+        libc.mallopt(M_ARENA_MAX, 1)
         _done = bool(ok1 and ok2)
     except Exception as exc:  # musl/macOS/etc: nothing to tune
         logger.debug("malloc tuning unavailable: %s", exc)
         _done = False
     return _done
+
+
+_prefaulted_bytes = 0
+_prefault_lock = threading.Lock()
+
+MADV_HUGEPAGE = 14
+_HUGE = 2 << 20
+
+
+def _libc():
+    return ctypes.CDLL(ctypes.util.find_library("c") or "libc.so.6", use_errno=True)
+
+
+def prefault_arena(nbytes: int, background: bool = True) -> threading.Thread | None:
+    """Fault ``nbytes`` of arena pages in NOW (page faults are kernel time,
+    so a background thread absorbs them while the caller does real work)
+    instead of mid-pipeline when the decode/struct buffers first allocate.
+
+    The region is ``madvise(MADV_HUGEPAGE)``d BEFORE the first touch, so on
+    fault-bound virtualized hosts (measured here: 4 KB faults cost ~100x
+    bare metal through the hypervisor) the population runs as 2 MB faults —
+    512x fewer hypervisor round-trips — independent of the system THP
+    setting.  Requires :func:`tune_malloc` first so the touched pages
+    survive the free and every later large allocation reuses them
+    (measured on this rig: cold 3M-record conversion 3.3-6.5s -> 1.5s).
+    Idempotent up to the largest requested size; allocation failure is
+    swallowed (the prefault is an optimization, never a requirement)."""
+    global _prefaulted_bytes
+    with _prefault_lock:
+        want = nbytes - _prefaulted_bytes
+        if want <= 0:
+            return None
+        _prefaulted_bytes = nbytes
+
+    def _touch(n: int = want) -> None:
+        global _prefaulted_bytes
+        try:
+            libc = _libc()
+            libc.malloc.restype = ctypes.c_void_p
+            ptr = libc.malloc(ctypes.c_size_t(n))
+            if not ptr:
+                raise MemoryError
+            # malloc doesn't touch the pages; advise THP first so the
+            # memset below populates them as hugepages
+            a0 = (ptr + _HUGE - 1) & ~(_HUGE - 1)
+            end = (ptr + n) & ~(_HUGE - 1)
+            if end > a0:
+                libc.madvise(
+                    ctypes.c_void_p(a0),
+                    ctypes.c_size_t(end - a0),
+                    MADV_HUGEPAGE,
+                )
+            libc.memset(ctypes.c_void_p(ptr), 0, ctypes.c_size_t(n))
+            libc.free(ctypes.c_void_p(ptr))
+        except Exception:
+            with _prefault_lock:
+                _prefaulted_bytes -= n
+
+    if background:
+        t = threading.Thread(target=_touch, daemon=True, name="hh-prefault")
+        t.start()
+        return t
+    _touch()
+    return None
+
+
+def enable_thp() -> bool:
+    """Best-effort system-wide THP enable (benchmark/CLI entry points only
+    — a library should not flip host-global knobs).  Covers allocations the
+    arena prefault can't reach (h5py/Blosc internals).  Returns True when
+    the knob was written; silently False without privileges."""
+    try:
+        with open("/sys/kernel/mm/transparent_hugepage/enabled", "w") as f:
+            f.write("always")
+        return True
+    except OSError:
+        return False
