@@ -41,16 +41,55 @@ logger = logging.getLogger("haplohyped_tpu.fasta_encoder")
 _SEQ_CHUNK_ROWS = 1 << 16
 
 
-def _encode_onehot_and_codes(raw: bytes, device: bool = True):
-    """bytes -> (onehot uint8 (L, C), codes int8 (L,))."""
-    arr = np.frombuffer(raw, dtype=np.uint8)
-    if device:
-        # the one-hot must come back to the host for the HDF5 writer, and a
-        # wedged device->host link HANGS device_get (try/except can't catch
-        # it) — gate on the converter's subprocess health probe
-        from haplohyped_tpu.pipeline.vcf_to_h5 import _device_transfer_healthy
+def _encode_host(arr: np.ndarray):
+    from haplohyped_tpu.utils.bitpack import index_to_onehot
+    from haplohyped_tpu.utils.common_utils import nucleotide_to_index
 
-        device = _device_transfer_healthy(wait_s=0.1)
+    codes = nucleotide_to_index(arr.view("|S1"))
+    return index_to_onehot(codes), codes
+
+
+def _encode_onehot_and_codes(raw: bytes, device: bool = True):
+    """bytes -> (onehot uint8 (L, C), codes int8 (L,)).
+
+    Link-aware like the converter's decode routing: the one-hot must come
+    back to the host for the HDF5 writer (6 bytes out per input byte), and
+    a wedged device->host link HANGS device_get (try/except can't catch
+    it).  Gate on the subprocess health probe, then project the round-trip
+    against a measured host-encode rate; the one-hot is elementwise, so the
+    host-rate prefix measurement is kept, never wasted."""
+    import time as _time
+
+    arr = np.frombuffer(raw, dtype=np.uint8)
+    n = arr.shape[0]
+    prefix = None
+    if device:
+        from haplohyped_tpu.pipeline import vcf_to_h5 as _conv
+
+        device = _conv._device_transfer_healthy(wait_s=0.1)
+        if device and n >= (4 << 20) and _conv._d2h_mbps is not None:
+            m = 4 << 20
+            t0 = _time.time()
+            prefix = _encode_host(arr[:m])
+            host_rate = m / max(_time.time() - t0, 1e-6)
+            t_host = n / host_rate
+            # up: n ascii bytes; down: 5n one-hot + n codes; same 2x
+            # sustained-rate margin as the converter (vcf_to_h5._decode_v2)
+            t_dev = (
+                2 * n / (_conv._h2d_mbps * 1e6)
+                + 2 * 6 * n / (_conv._d2h_mbps * 1e6)
+                + 0.15
+            )
+            if t_host < t_dev:
+                logger.info(
+                    "link-aware one-hot: host path (projected device %.2fs "
+                    "vs host %.2fs for %d bases)", t_dev, t_host, n,
+                )
+                oh_rest, codes_rest = _encode_host(arr[m:])
+                return (
+                    np.concatenate([prefix[0], oh_rest]),
+                    np.concatenate([prefix[1], codes_rest]),
+                )
     if device:
         try:
             import jax
@@ -62,11 +101,7 @@ def _encode_onehot_and_codes(raw: bytes, device: bool = True):
             return np.asarray(jax.device_get(onehot)), np.asarray(jax.device_get(codes))
         except Exception as exc:  # pragma: no cover - device fallback
             logger.warning("device one-hot failed (%s); using numpy", exc)
-    from haplohyped_tpu.utils.common_utils import nucleotide_to_index
-    from haplohyped_tpu.utils.bitpack import index_to_onehot
-
-    codes = nucleotide_to_index(arr.view("|S1"))
-    return index_to_onehot(codes), codes
+    return _encode_host(arr)
 
 
 class ReferenceGenome:
@@ -80,6 +115,7 @@ class ReferenceGenome:
         output_dir: str | None = None,
         device: bool = True,
         write_codes: bool = True,
+        write_workers: int | None = None,
     ):
         self.encode_spec = parse_encode_dict(encode_spec)
         self.output_dir = output_dir
@@ -87,6 +123,7 @@ class ReferenceGenome:
         self.hdf5_file = hdf5_file
         self.device = device
         self.write_codes = write_codes
+        self.write_workers = write_workers or (os.cpu_count() or 4)
         self.genome_files: list[tuple[str, str]] = []
 
     def encode_sequence(self, seq_data, ignore_case: bool = True) -> np.ndarray:
@@ -107,21 +144,30 @@ class ReferenceGenome:
         onehot, codes = _encode_onehot_and_codes(raw, device=self.device)
         tmp_h5_file = os.path.join(self.output_dir, f"{chrom}.h5")
         n_ch = onehot.shape[1] if onehot.size else len(self.encode_spec)
+        from haplohyped_tpu.storage.fastwrite import write_dataset_direct
+
         with h5py.File(tmp_h5_file, "w") as f:
-            f.create_dataset(
+            # direct-chunk writer: LZ4HC runs in a thread pool OUTSIDE the
+            # HDF5 global lock (the per-chromosome threads otherwise
+            # serialize on it)
+            write_dataset_direct(
+                f,
                 SEQUENCE_DATASET_NAME,
-                data=onehot,
-                **reference_compression_kwargs(
+                onehot,
+                reference_compression_kwargs(
                     chunks=(min(_SEQ_CHUNK_ROWS, max(1, onehot.shape[0])), n_ch)
                 ),
+                workers=self.write_workers,
             )
             if self.write_codes:
-                f.create_dataset(
+                write_dataset_direct(
+                    f,
                     CODES_DATASET_NAME,
-                    data=codes,
-                    **reference_compression_kwargs(
+                    codes,
+                    reference_compression_kwargs(
                         chunks=(min(_SEQ_CHUNK_ROWS * 4, max(1, codes.shape[0])),)
                     ),
+                    workers=self.write_workers,
                 )
         logger.info(f"Finished encoding and saving chromosome {chrom} to {tmp_h5_file}")
         return chrom, tmp_h5_file
@@ -178,6 +224,9 @@ class HDF5Handler:
 
 def encode_fasta(cfg: FastaEncodeConfig) -> str:
     """Library entry: run the full FASTA encode under a config."""
+    from haplohyped_tpu.storage.blosc import set_blosc_nthreads
+
+    set_blosc_nthreads(cfg.cores)
     os.makedirs(cfg.tmp_dir, exist_ok=True)
     # the merge appends into the final file; a leftover artifact from a
     # previous run would contribute stale chromosome groups

@@ -41,6 +41,7 @@ from haplohyped_tpu.pipeline.records import (
 )
 from haplohyped_tpu.core.metrics import GLOBAL_METRICS
 from haplohyped_tpu.storage.blosc import cohort_compression_kwargs, set_blosc_nthreads
+from haplohyped_tpu.storage.fastwrite import write_dataset_direct
 
 logger = logging.getLogger("haplohyped_tpu.vcf_to_h5")
 
@@ -457,10 +458,12 @@ class VCFtoHDF5Converter:
                 with GLOBAL_METRICS.timer("h5_write"), h5py.File(tmp_h5_file, "w") as h5_gen_file:
                     group_path = f"donor_{donor_id}/chr_{chromosome}"
                     group = h5_gen_file.create_group(group_path)
-                    group.create_dataset(
+                    write_dataset_direct(
+                        group,
                         SNP_DATASET_NAME,
-                        data=snp_struct,
-                        **cohort_compression_kwargs(snp_struct.shape[0]),
+                        snp_struct,
+                        cohort_compression_kwargs(snp_struct.shape[0]),
+                        workers=self.cxx_threads,
                     )
                 GLOBAL_METRICS.count("h5_bytes", snp_struct.nbytes)
                 logger.info(
@@ -701,10 +704,12 @@ class VCFtoHDF5Converter:
                         tmp_h5_file = self.tmp_h5_path(d, chromosome)
                         with h5py.File(tmp_h5_file, "w") as h5f:
                             group = h5f.create_group(f"donor_{d}/chr_{chromosome}")
-                            group.create_dataset(
+                            write_dataset_direct(
+                                group,
                                 SNP_DATASET_NAME,
-                                data=snp_struct,
-                                **cohort_compression_kwargs(snp_struct.shape[0]),
+                                snp_struct,
+                                cohort_compression_kwargs(snp_struct.shape[0]),
+                                workers=self.cxx_threads,
                             )
                     GLOBAL_METRICS.count("h5_bytes", snp_struct.nbytes)
                     logger.info(
@@ -782,10 +787,12 @@ class VCFtoHDF5Converter:
                     )
                     if SNP_DATASET_NAME in group:
                         del group[SNP_DATASET_NAME]
-                    group.create_dataset(
+                    write_dataset_direct(
+                        group,
                         SNP_DATASET_NAME,
-                        data=snp_struct,
-                        **cohort_compression_kwargs(snp_struct.shape[0]),
+                        snp_struct,
+                        cohort_compression_kwargs(snp_struct.shape[0]),
+                        workers=self.cxx_threads,
                     )
 
         try:

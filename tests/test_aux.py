@@ -63,3 +63,89 @@ class TestDistributed:
         assert distributed.host_local_tasks([1, 2, 3]) == [1, 2, 3]
         distributed.barrier()  # no-op
         assert distributed.broadcast_from_host0({"a": 1}) == {"a": 1}
+
+
+class TestMallocTune:
+    def test_prefault_idempotent_and_foreground(self):
+        from haplohyped_tpu.utils import malloc_tune as mt
+
+        mt.tune_malloc()
+        assert mt.prefault_arena(1 << 20, background=False) is None
+        # second call up to the same size is a no-op (already covered)
+        assert mt.prefault_arena(1 << 20, background=False) is None
+        t = mt.prefault_arena(2 << 20, background=True)
+        if t is not None:
+            t.join(timeout=30)
+
+    def test_enable_thp_best_effort(self):
+        from haplohyped_tpu.utils.malloc_tune import enable_thp
+
+        # must never raise, whatever the privileges; bool result
+        assert enable_thp() in (True, False)
+
+
+class TestLinkAwareDecode:
+    """The converter routes a big frame's decode to the host when the
+    measured link bandwidth projects the device round-trip slower
+    (VERDICT r2: whole-genome regression came from forcing d2h of the
+    decode output over a degraded relay)."""
+
+    def _frame(self, n=250_000, s=1):
+        import numpy as np
+
+        from haplohyped_tpu.hostio.frame_format import frame_v2_py
+        from haplohyped_tpu.pipeline import vcf_to_h5 as V
+
+        class FakeFrame:
+            pass
+
+        f = FakeFrame()
+        f.n = n
+        f.fixed = np.zeros((n, 5), np.uint8)
+        f.gt = np.zeros((n, s), np.uint8)
+        f.exc_idx = np.array([0], np.int64)
+        f.exc_pos = np.array([100], np.uint32)
+        f.run_counts = np.array([n], np.int64)
+        f.run_ids = np.array([0], np.uint8)
+        return f
+
+    def test_slow_link_routes_to_host(self, monkeypatch):
+        from haplohyped_tpu.pipeline import vcf_to_h5 as V
+
+        monkeypatch.setattr(V, "_h2d_mbps", 30.0)
+        monkeypatch.setattr(V, "_d2h_mbps", 30.0)
+        monkeypatch.setattr(V, "_host_decode_rate", 5e6)
+        calls = {"device": 0}
+
+        def boom(*a, **k):
+            calls["device"] += 1
+            raise AssertionError("device decode must not run on a slow link")
+
+        import haplohyped_tpu.ops.vcf_decode as D
+
+        monkeypatch.setattr(D, "decode_frames_v2", boom)
+        out = V._decode_v2(self._frame(), device=True)
+        assert calls["device"] == 0
+        assert out["start"].shape[0] == 250_000
+
+    def test_fast_link_keeps_device(self, monkeypatch):
+        import numpy as np
+
+        from haplohyped_tpu.pipeline import vcf_to_h5 as V
+
+        monkeypatch.setattr(V, "_h2d_mbps", 50_000.0)
+        monkeypatch.setattr(V, "_d2h_mbps", 50_000.0)
+        monkeypatch.setattr(V, "_host_decode_rate", 1e6)
+        used = {"device": False}
+        import haplohyped_tpu.ops.vcf_decode as D
+
+        real = D.decode_frames_v2_numpy
+
+        def fake_device_decode(fixed, gt, *sides):
+            used["device"] = True
+            return real(np.asarray(fixed), np.asarray(gt), *map(np.asarray, sides))
+
+        monkeypatch.setattr(D, "decode_frames_v2", fake_device_decode)
+        out = V._decode_v2(self._frame(), device=True)
+        assert used["device"]
+        assert out["start"].shape[0] == 250_000
