@@ -839,11 +839,21 @@ def bench_storage(n_records: int = 1_000_000) -> dict:
     data["phase1"] = rng.integers(0, 2, n_records)
     data["phase2"] = rng.integers(0, 2, n_records)
 
+    from haplohyped_tpu.storage.fastwrite import write_dataset_direct
+
     path = tempfile.mktemp(suffix=".h5")
     try:
         t0 = time.time()
         with h5py.File(path, "w") as f:
-            f.create_dataset("snp_data", data=data, **cohort_compression_kwargs())
+            # the engine's production writer: parallel chunk compression
+            # outside the HDF5 lock + direct chunk IO
+            write_dataset_direct(
+                f,
+                "snp_data",
+                data,
+                cohort_compression_kwargs(n_records),
+                workers=os.cpu_count() or 2,
+            )
         wr = n_records / (time.time() - t0)
         ratio = data.nbytes / os.path.getsize(path)
 

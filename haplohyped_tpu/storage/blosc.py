@@ -118,14 +118,16 @@ def blosc_available() -> bool:
     return register_blosc_filter()
 
 
-#: Rows per chunk for large cohort tables.  h5py's auto-chunking picks
-#: ~50 KB chunks for the 35-byte SNP struct, which defeats Blosc's
-#: internal threading and pays per-chunk filter overhead; 256K-row (~9 MB)
-#: chunks measure 0.40s vs 0.67s for a 3M-row write on this rig AND
-#: compress better (13.5 vs 14.8 MB).  Value/dtype/cd_values parity with
-#: the reference artifact is unchanged — chunk shape is a private layout
-#: detail any HDF5 reader handles transparently.
-COHORT_CHUNK_ROWS = 262_144
+#: Rows per chunk for large cohort tables.  With the parallel direct-chunk
+#: writer (storage/fastwrite.py) write throughput is flat in chunk size
+#: (measured 243-260 MB/s from 1.5K to 32K rows on realistic 3M-row
+#: structs — the old HDF5-lock serialization, not per-chunk overhead, was
+#: the cost), so the choice is governed by random-access reads: 4096 rows
+#: (~143 KB) measures 6,052 500-row slices/s vs 280/s at 256K rows, with a
+#: slightly better ratio than h5py's ~1.5K-row auto chunks.  Value/dtype/
+#: cd_values parity with the reference artifact is unchanged — chunk shape
+#: is a private layout detail any HDF5 reader handles transparently.
+COHORT_CHUNK_ROWS = 4096
 
 
 def cohort_compression_kwargs(n_records: int | None = None) -> dict:
