@@ -713,15 +713,25 @@ def _window_fixture():
     return genome, cohort, spans
 
 
-def _time_sampler(sampler, n_batches: int, iters: int) -> list[float]:
+#: Per-process nonce folded into every sampler-bench PRNG key: the relay
+#: caches executions by (executable, input) hash ACROSS processes, so keys
+#: that repeat between bench runs (the old fixed 1000+i scheme) can come
+#: back as sub-RPC-latency cache hits and inflate windows/s by 100x+.
+_KEY_NONCE = (os.getpid() * 1_000_003 + int(time.time() * 1000)) % (1 << 30)
+
+
+def _time_sampler(
+    sampler, n_batches: int, iters: int, key_offset: int = 0
+) -> list[float]:
     """Per-iteration wall times of ``sample_many`` with FRESH host-built
     PRNG keys (a caching execution relay elides repeats on identical
-    inputs — measured 148x physical peak when violated)."""
+    inputs — measured 148x physical peak when violated; the nonce keeps
+    keys fresh across RUNS, not just iterations)."""
     import jax
 
     ts = []
     for i in range(iters):
-        key = jax.random.PRNGKey(1000 + i)
+        key = jax.random.PRNGKey(_KEY_NONCE + key_offset + i)
         t0 = time.time()
         o = sampler.sample_many(n_batches, key=key)
         jax.block_until_ready(o.hap1)
@@ -776,39 +786,64 @@ def bench_window_kernels() -> dict:
     genome, cohort, spans = _window_fixture()
     B, L = 64, 1000
     on_cpu = jax.devices()[0].platform == "cpu"
-    # default 256 fused batches (16K windows/dispatch): at 64 the three
-    # kernels all sit on the ~0.3ms dispatch floor and tie within IQR
+    # 2048 fused batches (131K windows/dispatch): at 256 the measured
+    # winner still flip-flopped run to run because ~0.2ms dispatches sit
+    # on the relay's 0.1-0.3ms dispatch floor; ~1.5-2ms dispatches put
+    # kernel time in charge of the median
     n_batches, iters = (
-        (4, 3) if on_cpu else (int(os.environ.get("HH_BENCH_WINDOW_NB", 256)), N_ITERS)
+        (4, 3) if on_cpu else (int(os.environ.get("HH_BENCH_WINDOW_NB", 2048)), N_ITERS)
     )
 
     out = {}
     kernels = ["baseline", "fast"] if on_cpu else ["baseline", "fast", "pallas"]
+    samplers = {}
     for kernel in kernels:
         cfg = SamplerConfig(
             seq_length=L, batch_size=B, seed=0,
             max_variants_per_window=64, window_kernel=kernel,
         )
         try:
-            sampler = DeviceHaplotypeSampler(genome, cohort, spans, cfg)
+            samplers[kernel] = DeviceHaplotypeSampler(genome, cohort, spans, cfg)
             t0 = time.time()
-            b = sampler.sample_many(n_batches)  # compile
+            b = samplers[kernel].sample_many(n_batches)  # compile
             jax.block_until_ready(b.hap1)
             log(f"window kernel [{kernel}]: compile+first {time.time() - t0:.1f}s")
-            ts = _time_sampler(sampler, n_batches, iters)
-            st = stats(ts)
-            wps = B * n_batches / st["median_s"]
-            out[kernel] = {"windows_per_sec": round(wps), **st}
-            log(
-                f"window kernel [{kernel}]: {fmt_stats(st)} "
-                f"= {wps:,.0f} windows/s at median"
-            )
         except Exception as exc:
             log(f"window kernel [{kernel}] failed: {exc}")
             out[kernel] = {"windows_per_sec": 0, "error": str(exc)[:200]}
-    winner = max(out, key=lambda k: out[k]["windows_per_sec"])
+    # PAIRED design: each round times every kernel back-to-back, so all
+    # kernels see the same rig/relay mood and the per-round ranking cancels
+    # the drift that made sequential per-kernel blocks flip winners between
+    # otherwise-identical runs.  Winner = most round-wins (sign test), with
+    # per-kernel medians reported for throughput.
+    times: dict[str, list[float]] = {k: [] for k in samplers}
+    for r in range(iters):
+        for kernel, sampler in samplers.items():
+            times[kernel].extend(
+                _time_sampler(sampler, n_batches, 1, key_offset=r)
+            )
+    wins = {k: 0 for k in samplers}
+    for r in range(iters):
+        best = min(samplers, key=lambda k: times[k][r])
+        wins[best] += 1
+    for kernel in samplers:
+        st = stats(times[kernel])
+        wps = B * n_batches / st["median_s"]
+        out[kernel] = {
+            "windows_per_sec": round(wps),
+            "round_wins": wins[kernel],
+            **st,
+        }
+        log(
+            f"window kernel [{kernel}]: {fmt_stats(st)} "
+            f"= {wps:,.0f} windows/s at median, {wins[kernel]}/{iters} round wins"
+        )
+    winner = max(
+        samplers,
+        key=lambda k: (wins[k], -stats(times[k])["median_s"]),
+    ) if samplers else "none"
     out["winner"] = winner
-    log(f"window kernel winner at median: {winner}")
+    log(f"window kernel winner (paired round wins): {winner}")
     return out
 
 

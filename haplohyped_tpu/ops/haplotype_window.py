@@ -133,10 +133,10 @@ def windows_to_onehot(codes: jax.Array, num_channels: int = 5, dtype=jnp.float32
 # ---------------------------------------------------------------------
 # Fast path: same semantics as encode_haplotype_windows, restructured for
 # TPU gather cost.  THE SAMPLER DEFAULT (SamplerConfig.window_kernel =
-# "fast"): the bench 3-way shoot-out on a v5e chip measured it at 81.9M
-# windows/s vs 52.9M (baseline above) and 58.5M (pallas_window) at 256
-# fused batches, median of 10.  Bit-equal outputs; parity pinned by
-# tests/test_window_kernels.py.
+# "fast"): in the bench's paired 3-way shoot-out (bench.py window_kernels
+# stage) the three kernels sit within rig noise of each other and this one
+# leads in the majority of recorded runs.  Bit-equal outputs; parity
+# pinned by tests/test_window_kernels.py.
 #
 # Three changes versus the reference kernel above, each attacking a
 # measured hot spot (per 64-window batch on a v5e chip):

@@ -134,13 +134,8 @@ def _pallas_decode_call(frames, with_sample: bool, interpret: bool = False):
 def _decode12_kernel(
     frames_ref,
     start_ref,
-    stop_ref,
-    ref_char_ref,
-    alt_char_ref,
-    phase1_ref,
-    phase2_ref,
-    chrom_id_ref,
-    flags_ref,
+    meta_ref,
+    reflen_ref,
     *,
     with_sample: bool,
 ):
@@ -209,19 +204,28 @@ def _decode12_kernel(
         missing = zero != 0
         valid = well_formed
 
+    del stop  # host derives it: start + ref_len (one add on 3 columns)
     start_ref[...] = start
-    stop_ref[...] = stop
-    ref_char_ref[...] = ref_char
-    alt_char_ref[...] = alt_char
-    phase1_ref[...] = phase1
-    phase2_ref[...] = phase2
-    chrom_id_ref[...] = f[:, R12_CHROM_ID_OFF]
-    flags_ref[...] = (
+    # PACKED outputs: 12 B/record of HBM writes instead of 32 (the kernel
+    # is bandwidth-bound; the 8-column layout spent 73% of its traffic on
+    # bytes that fit in spare bits).  meta = ref_char | alt_char<<8 |
+    # chrom_id<<16 | flags<<24, flags = snp|valid<<1|missing<<2|phased<<3
+    # |phase1<<4|phase2<<5; host-side unpack is three vectorized shifts.
+    flags = (
         snp.astype(jnp.int32)
         | (valid.astype(jnp.int32) << 1)
         | (missing.astype(jnp.int32) << 2)
         | (phased.astype(jnp.int32) << 3)
+        | (phase1.astype(jnp.int32) << 4)
+        | (phase2.astype(jnp.int32) << 5)
     )
+    meta_ref[...] = (
+        ref_char
+        | (alt_char << 8)
+        | (f[:, R12_CHROM_ID_OFF] << 16)
+        | (flags << 24)
+    )
+    reflen_ref[...] = ref_len
 
 
 #: records per grid step for the 12-byte kernel — smaller than B_REC because
@@ -235,13 +239,13 @@ def _pallas_decode12_call(frames, with_sample: bool, interpret: bool = False):
     N = frames.shape[0]
     G = N // B12_REC
     vec = lambda: pl.BlockSpec((B12_REC,), lambda g: (g,))
-    out_shape = [jax.ShapeDtypeStruct((N,), jnp.int32) for _ in range(8)]
+    out_shape = [jax.ShapeDtypeStruct((N,), jnp.int32) for _ in range(3)]
     kernel = functools.partial(_decode12_kernel, with_sample=with_sample)
     return pl.pallas_call(
         kernel,
         grid=(G,),
         in_specs=[pl.BlockSpec((B12_REC, 12), lambda g: (g, 0))],
-        out_specs=[vec() for _ in range(8)],
+        out_specs=[vec() for _ in range(3)],
         out_shape=out_shape,
         interpret=interpret,
     )(frames)
@@ -263,25 +267,25 @@ def decode_frames12_pallas(
     fp = np.zeros((n_pad, 12), np.uint8)
     fp[:n] = frames
     out = _pallas_decode12_call(jnp.asarray(fp), with_sample, interpret)
-    start, stop, ref_char, alt_char, p1, p2, chrom_id, flags = (
-        np.asarray(x)[:n] for x in jax.device_get(out)
-    )
-    ref_char = ref_char.astype(np.uint8)
-    alt_char = alt_char.astype(np.uint8)
+    start, meta, ref_len = (np.asarray(x)[:n] for x in jax.device_get(out))
+    ref_char = (meta & 0xFF).astype(np.uint8)
+    alt_char = ((meta >> 8) & 0xFF).astype(np.uint8)
+    chrom_id = ((meta >> 16) & 0xFF).astype(np.uint8)
+    flags = (meta >> 24) & 0xFF
     return {
         "start": start.astype(np.uint32),
-        "stop": stop.astype(np.uint32),
+        "stop": (start + ref_len).astype(np.uint32),
         "ref_char": ref_char,
         "alt_char": alt_char,
         "ref_code": BASE_LUT[ref_char],
         "alt_code": BASE_LUT[alt_char],
-        "phase1": p1.astype(np.int8),
-        "phase2": p2.astype(np.int8),
+        "phase1": ((flags >> 4) & 1).astype(np.int8),
+        "phase2": ((flags >> 5) & 1).astype(np.int8),
         "phased": (flags & 8) != 0,
         "missing": (flags & 4) != 0,
         "snp_mask": (flags & 1) != 0,
         "valid": (flags & 2) != 0,
-        "chrom_id": chrom_id.astype(np.uint8),
+        "chrom_id": chrom_id,
     }
 
 

@@ -4,12 +4,13 @@ One of the three bit-equal window-encode kernels selectable via
 ``SamplerConfig.window_kernel`` (reference semantics:
 ``haplotype_dataset.py:86-110`` — reference-genome window with per-phase
 ALT substitution at in-window variant positions).  NOT the default: the
-bench's 3-way shoot-out on a v5e chip (``bench.py`` ``window_kernels``
-stage, median of 10) measured the ``fast`` word-gather XLA kernel ahead
-(81.9M windows/s vs 58.5M here vs 52.9M baseline at 256 fused batches);
-this kernel is kept as the explicit-DMA formulation — useful where the
-XLA gather lowering regresses, and as the scaffold for window shapes the
-gather path handles poorly.
+bench's paired 3-way shoot-out (``bench.py`` ``window_kernels`` stage)
+has all three kernels within rig noise of each other, with the ``fast``
+word-gather XLA kernel ahead in the majority of recorded runs — that
+majority sets the default.  This kernel is kept as the explicit-DMA
+formulation — it wins some runs outright, is useful where the XLA gather
+lowering regresses, and is the scaffold for window shapes the gather
+path handles poorly.
 
 Design notes: every gather is replaced with explicit, tile-aligned
 HBM->VMEM DMAs.  Mosaic's alignment rules shape the whole design: 2-D

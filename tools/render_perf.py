@@ -121,19 +121,30 @@ def render_arch_block(nums: dict) -> str:
             f"(median {xla.get('median_s', 0)}s, IQR {xla.get('iqr_s', 0)}s) vs "
             f"Pallas {pal.get('vps', 0):,} variants/s "
             f"(median {pal.get('median_s', 0)}s, IQR {pal.get('iqr_s', 0)}s) — "
-            f"median winner: **{d12.get('winner', '?')}** (the converter default)."
+            f"this run's winner: **{d12.get('winner', '?')}**.  This stage "
+            f"measures the LINK as much as the kernels (its winner flips "
+            f"with relay mood across otherwise-identical runs); the "
+            f"converter's TPU default (Pallas) is set by the stable "
+            f"device-resident roofline below plus its 2.7× smaller decode "
+            f"output (12 B/record packed vs 32), which is what the d2h leg "
+            f"actually ships."
         )
     wk = nums.get("window_kernels")
     if wk:
         parts = [
             f"{k} {v['windows_per_sec']:,}/s"
+            + (f" ({v['round_wins']} round wins)" if "round_wins" in v else "")
             for k, v in wk.items()
             if isinstance(v, dict) and "windows_per_sec" in v
         ]
         lines.append(
-            f"- window kernels (windows/s at median): {', '.join(parts)} — "
-            f"median winner: **{wk.get('winner', '?')}** (the sampler default, "
-            f"`SamplerConfig.window_kernel`)."
+            f"- window kernels, paired shoot-out (each round times all "
+            f"kernels back-to-back): {', '.join(parts)} — this run's winner: "
+            f"**{wk.get('winner', '?')}**.  The three kernels are bit-equal "
+            f"and within rig noise of each other run-to-run; the sampler "
+            f"default (`SamplerConfig.window_kernel`, word-gather `fast`) "
+            f"follows the majority of recorded runs and is selectable "
+            f"per-sampler."
         )
     dr = nums.get("device_roofline")
     if dr:
