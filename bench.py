@@ -767,11 +767,33 @@ def bench_windows() -> dict:
         wps = B * n_batches / st["median_s"]
         out[mode] = wps
         out[f"{mode}_stats"] = st
+        flag = _roofline_flag(wps, L, onehot=emit_onehot)
+        if flag:
+            out[f"{mode}_note"] = flag
         log(
             f"sampler [{mode}] (kernel={cfg.window_kernel}, fused x{n_batches}, "
             f"fresh keys): {fmt_stats(st)} = {wps:,.0f} windows/s at median"
+            + (f"  [{flag}]" if flag else "")
         )
     return out
+
+
+def _roofline_flag(wps: float, L: int, onehot: bool = False) -> str | None:
+    """Flag windows/s claims that exceed the chip's physical memory
+    roofline — a relay that acks before executing (observed on this rig)
+    can return sub-ms timings for work whose output alone would need more
+    than HBM peak bandwidth.  Honest reporting: annotate, don't deadpan."""
+    # per window: >= L bytes of genome reads and L (codes) or 5L (one-hot)
+    # bytes of output writes — a hard lower bound on HBM traffic
+    bytes_per_window = L + (5 * L if onehot else L)
+    implied = wps * bytes_per_window
+    if implied > 0.9 * V5E_HBM_BYTES_PER_S:
+        return (
+            f"implied {implied / 1e9:.0f} GB/s exceeds the v5e HBM roofline "
+            f"({V5E_HBM_BYTES_PER_S / 1e9:.0f} GB/s) — the relay is eliding "
+            "execution; treat as an upper bound, not a measurement"
+        )
+    return None
 
 
 def bench_window_kernels() -> dict:
@@ -816,6 +838,21 @@ def bench_window_kernels() -> dict:
     # the drift that made sequential per-kernel blocks flip winners between
     # otherwise-identical runs.  Winner = most round-wins (sign test), with
     # per-kernel medians reported for throughput.
+    # budget guard: the relay has a per-step-dispatch mode where one fused
+    # call costs seconds instead of milliseconds (measured 35,000x spread
+    # on identical code); probe one round and shrink the round count so a
+    # slow-mode stage can't starve the stages that follow it
+    probe = [
+        _time_sampler(s, n_batches, 1, key_offset=10_000)[0]
+        for s in samplers.values()
+    ]
+    round_cost = sum(probe)
+    if round_cost * iters > 60.0:
+        iters = max(3, int(60.0 / max(round_cost, 1e-9)))
+        log(
+            f"window kernels: slow dispatch mode ({round_cost:.1f}s/round); "
+            f"reducing to {iters} rounds"
+        )
     times: dict[str, list[float]] = {k: [] for k in samplers}
     for r in range(iters):
         for kernel, sampler in samplers.items():
@@ -834,9 +871,13 @@ def bench_window_kernels() -> dict:
             "round_wins": wins[kernel],
             **st,
         }
+        flag = _roofline_flag(wps, L)
+        if flag:
+            out[kernel]["note"] = flag
         log(
             f"window kernel [{kernel}]: {fmt_stats(st)} "
             f"= {wps:,.0f} windows/s at median, {wins[kernel]}/{iters} round wins"
+            + (f"  [{flag}]" if flag else "")
         )
     winner = max(
         samplers,
