@@ -149,3 +149,36 @@ class TestLinkAwareDecode:
         out = V._decode_v2(self._frame(), device=True)
         assert used["device"]
         assert out["start"].shape[0] == 250_000
+
+
+class TestLinkAwareFastaOnehot:
+    def test_slow_link_routes_to_host(self, monkeypatch):
+        import numpy as np
+
+        from haplohyped_tpu.pipeline import fasta_encoder as F
+        from haplohyped_tpu.pipeline import vcf_to_h5 as V
+
+        monkeypatch.setattr(V, "_device_transfer_healthy", lambda **k: True)
+        monkeypatch.setattr(V, "_h2d_mbps", 30.0)
+        monkeypatch.setattr(V, "_d2h_mbps", 30.0)
+
+        called = {"device": False}
+
+        def no_device(*a, **k):
+            called["device"] = True
+            raise AssertionError("device one-hot must not run on a slow link")
+
+        import haplohyped_tpu.ops.onehot as O
+
+        monkeypatch.setattr(O, "ascii_to_codes", no_device)
+        raw = bytes(np.frombuffer(b"ACGTN", np.uint8)[
+            np.random.default_rng(0).integers(0, 5, 5 << 20)
+        ])
+        onehot, codes = F._encode_onehot_and_codes(raw, device=True)
+        assert not called["device"]
+        assert onehot.shape == (5 << 20, 5)
+        assert codes.shape == (5 << 20,)
+        # prefix + remainder concatenation must equal a one-shot encode
+        oh2, c2 = F._encode_host(np.frombuffer(raw, np.uint8))
+        np.testing.assert_array_equal(onehot, oh2)
+        np.testing.assert_array_equal(codes, c2)
