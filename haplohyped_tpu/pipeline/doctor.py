@@ -58,10 +58,62 @@ def run_checks() -> list[tuple[str, bool, str]]:
     return checks
 
 
+def run_link_checks() -> list[tuple[str, bool, str]]:
+    """Optional diagnostics for fault-bound / tunneled deployments: the
+    measured host<->device link bandwidth (what the converter's link-aware
+    decode routing sees) and the transparent-hugepage state (what governs
+    first-touch page-fault cost for big host buffers)."""
+    checks: list[tuple[str, bool, str]] = []
+
+    def _link():
+        from haplohyped_tpu.pipeline import vcf_to_h5 as conv
+
+        ok = conv._device_transfer_healthy()
+        if not ok:
+            return False, "d2h probe failed/stalled — host decode paths in use"
+        if conv._h2d_mbps is None:
+            return True, "healthy (bandwidth not reported by probe)"
+        return True, (
+            f"h2d {conv._h2d_mbps:.0f} MB/s, d2h {conv._d2h_mbps:.0f} MB/s "
+            "(link-aware routing compares these against host decode rates)"
+        )
+
+    def _thp():
+        try:
+            with open("/sys/kernel/mm/transparent_hugepage/enabled") as f:
+                state = f.read().strip()
+        except OSError:
+            return True, "no THP control (non-Linux?)"
+        ok = "[never]" not in state
+        return ok, state + (
+            "" if "[always]" in state
+            else " — big-buffer prefault uses madvise(MADV_HUGEPAGE)"
+        )
+
+    try:
+        checks.append(("device link", *_link()))
+    except Exception as exc:  # noqa: BLE001
+        checks.append(("device link", False, str(exc)))
+    try:
+        checks.append(("hugepages", *_thp()))
+    except Exception as exc:  # noqa: BLE001
+        checks.append(("hugepages", False, str(exc)))
+    return checks
+
+
 @click.command()
-def main():
+@click.option(
+    "--link",
+    is_flag=True,
+    help="Also probe host<->device link bandwidth and THP state "
+    "(spawns a jax subprocess; seconds on healthy links, up to the "
+    "probe timeout on wedged ones)",
+)
+def main(link):
     """Check the runtime environment (native libs, filters, devices)."""
     checks = run_checks()
+    if link:
+        checks += run_link_checks()
     failed = 0
     for name, ok, detail in checks:
         mark = "✓" if ok else "✗"
