@@ -645,30 +645,40 @@ def bench_whole_genome(threads: int, device_decode: bool) -> dict:
     wg_dir = ensure_wg_corpus()
     out_dir = tempfile.mkdtemp(prefix="hh_wg_")
     try:
-        conv = VCFtoHDF5Converter(
-            cohort_name="wg",
-            vcf_dir=wg_dir,
-            out_dir=out_dir,
-            sample_list_path=os.path.join(wg_dir, "samples.txt"),
-            cores=2,
-            cxx_threads=threads,
-            chromosomes=[1],
-            device_decode=device_decode,
-        )
-        t0 = time.time()
-        results = conv.run()
-        secs = time.time() - t0
-        n_snps = sum(r.n_snps for r in results)
-        ok = not any(r.error for r in results)
+        # median-of-3 like every other stage (was the only single-shot
+        # number in the bench; the rig swings runs of identical work
+        # 1.6s..3.0s with its mood)
+        runs = []
+        n_snps, ok = 0, True
+        for i in range(3):
+            conv = VCFtoHDF5Converter(
+                cohort_name=f"wg{i}",
+                vcf_dir=wg_dir,
+                out_dir=out_dir,
+                sample_list_path=os.path.join(wg_dir, "samples.txt"),
+                cores=2,
+                cxx_threads=threads,
+                chromosomes=[1],
+                device_decode=device_decode,
+            )
+            t0 = time.time()
+            results = conv.run()
+            runs.append(time.time() - t0)
+            n_snps = sum(r.n_snps for r in results)
+            ok = ok and not any(r.error for r in results)
+        secs = sorted(runs)[len(runs) // 2]
         vps = n_snps / secs if secs > 0 else 0
         log(
             f"whole-genome: {n_snps} variants -> cohort HDF5 in {secs:.1f}s "
-            f"({vps:,.0f} variants/s incl. Blosc write+merge; "
+            f"median-of-{len(runs)} (best {min(runs):.1f}s; "
+            f"{vps:,.0f} variants/s incl. Blosc write+merge; "
             f"reference ~18s parse+write; ok={ok})"
         )
         return {
             "n_variants": n_snps,
             "seconds": round(secs, 2),
+            "best_seconds": round(min(runs), 2),
+            "runs_s": [round(r, 2) for r in runs],
             "variants_per_sec": round(vps),
             "ref_seconds": 18.0,
         }

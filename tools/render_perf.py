@@ -42,6 +42,8 @@ REF = {
 
 
 def _fmt_big(v: float) -> str:
+    if v >= 1e9:
+        return f"{v / 1e9:.1f}B"
     if v >= 1e6:
         return f"{v / 1e6:.1f}M"
     if v >= 1e3:
