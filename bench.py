@@ -102,7 +102,12 @@ def device_health(timeout_s: float = 45.0, retries: int = 2) -> tuple[bool, bool
         [
             sys.executable,
             "-c",
-            "import jax, numpy as np;"
+            # repin like main(): sitecustomize overrides JAX_PLATFORMS,
+            # so a cpu-fallback worker's probe must not test the TPU
+            "import os, jax;"
+            "os.environ.get('JAX_PLATFORMS') == 'cpu' and"
+            " jax.config.update('jax_platforms', 'cpu');"
+            "import numpy as np;"
             "x = jax.jit(lambda a: a * 2)(jax.numpy.arange(16));"
             "assert int(np.asarray(jax.device_get(x))[1]) == 2",
         ],
@@ -153,7 +158,10 @@ def device_health(timeout_s: float = 45.0, retries: int = 2) -> tuple[bool, bool
                     [
                         sys.executable,
                         "-c",
-                        "import jax, numpy as np;"
+                        "import os, jax;"
+                        "os.environ.get('JAX_PLATFORMS') == 'cpu' and"
+                        " jax.config.update('jax_platforms', 'cpu');"
+                        "import numpy as np;"
                         "x = jax.jit(lambda a: a * 2)(jax.numpy.arange(16));"
                         "assert int(np.asarray(jax.device_get(x))[1]) == 2",
                     ],
@@ -513,6 +521,10 @@ def bench_device_roofline(vcf: str, sample: str, threads: int) -> dict:
 
     dev = jax.devices()[0]
     rec, chroms, _ = native.vcf_frame12(vcf, sample, None, threads=threads)
+    # 8x the corpus: at 2M records both kernels finish in ~0.1ms — the
+    # dispatch floor — so the measured "bandwidth" was mostly overhead;
+    # 16M records (192 MB in + outputs) gives the kernel real signal
+    rec = np.ascontiguousarray(np.tile(rec, (8, 1)))
     n = rec.shape[0]
 
     kernels = {"xla": lambda r: decode_frames12(r)}
@@ -527,23 +539,52 @@ def bench_device_roofline(vcf: str, sample: str, threads: int) -> dict:
         kernels["pallas"] = lambda r: _pallas_decode12_call(r, True)
     rec_dev = jax.device_put(rec, dev)
 
+    # The relay elides repeat executions aggressively: fresh index scalars,
+    # content-fresh chained buffers, and even block_until_ready on a
+    # data-dependent scan all came back at implied 200-6000% of HBM peak —
+    # in its bad mood the relay acks readiness without executing ANYTHING.
+    # The only timing it cannot fake: a device->host fetch of a value the
+    # computation must produce.  So: ONE dispatch runs a lax.scan of CHAIN
+    # decodes (step k+1's input depends on step k's output — serial by
+    # construction), and the timed region ends with a 1-element d2h from
+    # the final state.  The scalar fetch inflates the per-decode time by
+    # RPC-latency/CHAIN, so the reported bandwidth is a LOWER bound.
+    import jax.tree_util as jtu
+    from jax import lax
+
+    CHAIN = 64
+
     result: dict = {}
     for name, fn in kernels.items():
 
-        @functools.partial(jax.jit, donate_argnums=())
-        def mutate_and_decode(r, i, fn=fn):
-            r = r.at[i, 5].set(r[i, 5] ^ 1)
-            return fn(r)
+        @jax.jit
+        def chain_decode(r, fn=fn):
+            def body(c, _):
+                o = fn(c)
+                # EVERY record's EVERY decoded column feeds the next
+                # input: anything less lets XLA dead-code-eliminate the
+                # unused outputs (a scalar tag "measured" 992 GB/s on a
+                # 2-core CPU), and the full-width fold also keeps each
+                # step's content fresh
+                tag_vec = jnp.zeros((c.shape[0],), jnp.uint8)
+                for leaf in jtu.tree_leaves(o):
+                    tag_vec = tag_vec ^ (leaf.astype(jnp.uint8) & 1)
+                return c ^ tag_vec[:, None], ()
 
-        out = mutate_and_decode(rec_dev, jnp.int32(0))  # compile
-        jax.block_until_ready(out)
+            out, _ = lax.scan(body, r, None, length=CHAIN)
+            return out
+
+        buf = chain_decode(rec_dev)  # compile
+        int(np.asarray(buf[0, 5]))  # materialize (d2h gate)
         ts = []
-        for i in range(N_ITERS):
-            idx = jax.device_put(np.int32(i % n), dev)
+        for _ in range(max(3, N_ITERS // 3)):
             t0 = time.time()
-            o = mutate_and_decode(rec_dev, idx)
-            jax.block_until_ready(o)
-            ts.append(time.time() - t0)
+            buf = chain_decode(buf)  # content differs every chain
+            _ = int(np.asarray(buf[0, 5]))  # forced materialization
+            ts.append((time.time() - t0) / CHAIN)
+        # one representative output for the byte accounting below
+        out = jax.jit(fn)(rec_dev)
+        jax.block_until_ready(out)
         st = stats(ts)
         vps = n / st["median_s"]
         # HBM traffic: read 12 B/record; write the decoded columns.  Byte
@@ -567,6 +608,11 @@ def bench_device_roofline(vcf: str, sample: str, threads: int) -> dict:
             "hbm_peak_fraction": round(frac, 4),
             **st,
         }
+        if frac > 1.0:
+            result[name]["note"] = (
+                f"implied {gbps:.0f} GB/s exceeds the v5e HBM roofline — "
+                "the relay elided execution; treat as an upper bound"
+            )
     # headline numbers: the kernel the converter actually uses on TPU
     best = result.get("pallas", result["xla"])
     result.update(best)
@@ -1223,7 +1269,15 @@ def main() -> None:
             20,
         ),
         ("shootout", lambda: bench_shootout(vcf, sample, threads), 45),
-        ("device_roofline", lambda: bench_device_roofline(vcf, sample, threads), 30),
+        (
+            "device_roofline",
+            # the stage's anti-eliding design REQUIRES a d2h fetch in the
+            # timed region; on a wedged-d2h relay it would hang
+            lambda: bench_device_roofline(vcf, sample, threads)
+            if d2h_ok
+            else {"note": "skipped: d2h unhealthy (stage needs the fetch)"},
+            30,
+        ),
         ("fasta", lambda: bench_fasta(threads), 40),
         ("storage", lambda: bench_storage(), 25),
     ]

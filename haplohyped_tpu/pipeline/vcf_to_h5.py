@@ -73,6 +73,10 @@ _PROBE_SRC = (
     # parent's multithreaded jax runtime)
     "import os; os.nice(10);"
     "import time, jax, numpy as np;"
+    # a cpu-pinned parent (tests, cpu-fallback benches) wants the probe to
+    # test ITS platform; sitecustomize would otherwise pin the TPU
+    "os.environ.get('JAX_PLATFORMS') == 'cpu' and"
+    " jax.config.update('jax_platforms', 'cpu');"
     "x = jax.jit(lambda a: a * 2)(jax.numpy.arange(16));"
     "assert int(np.asarray(jax.device_get(x))[1]) == 2;"
     "a = np.ones(4 * 1024 * 1024, np.int32);"
