@@ -779,12 +779,20 @@ _KEY_NONCE = (os.getpid() * 1_000_003 + int(time.time() * 1000)) % (1 << 30)
 
 
 def _time_sampler(
-    sampler, n_batches: int, iters: int, key_offset: int = 0
+    sampler, n_batches: int, iters: int, key_offset: int = 0,
+    materialize: bool = False,
 ) -> list[float]:
     """Per-iteration wall times of ``sample_many`` with FRESH host-built
     PRNG keys (a caching execution relay elides repeats on identical
     inputs — measured 148x physical peak when violated; the nonce keeps
-    keys fresh across RUNS, not just iterations)."""
+    keys fresh across RUNS, not just iterations).
+
+    ``materialize=True`` ends each timed iteration with a 1-element d2h
+    fetch: the relay also acks ``block_until_ready`` before executing in
+    some moods, and serving any real output byte requires the whole
+    executable to have run.  Costs ~RPC latency per iteration, so callers
+    use fused batches big enough to amortize it; without it (wedged d2h)
+    the numbers are upper bounds."""
     import jax
 
     ts = []
@@ -792,14 +800,22 @@ def _time_sampler(
         key = jax.random.PRNGKey(_KEY_NONCE + key_offset + i)
         t0 = time.time()
         o = sampler.sample_many(n_batches, key=key)
-        jax.block_until_ready(o.hap1)
+        if materialize:
+            _ = int(np.asarray(o.n_variants).ravel()[0])
+        else:
+            jax.block_until_ready(o.hap1)
         ts.append(time.time() - t0)
     return ts
 
 
-def bench_windows() -> dict:
+def bench_windows(materialize: bool = False) -> dict:
     """Haplotype windows/sec from the on-device sampler (the shipped
-    default kernel), codes + one-hot modes, median-of-N_ITERS."""
+    default kernel), codes + one-hot modes, median-of-N_ITERS.
+
+    ``materialize=True`` (healthy d2h): each timed iteration ends with a
+    1-element fetch the relay cannot fake, and the fused batch count is
+    raised so the RPC latency amortizes — reported numbers are honest
+    lower bounds.  Without it they are upper bounds."""
     import jax
 
     from haplohyped_tpu.core.config import SamplerConfig
@@ -811,7 +827,7 @@ def bench_windows() -> dict:
     if jax.devices()[0].platform == "cpu":
         n_batches, iters = 8, 3
     else:
-        n_batches, iters = 64, N_ITERS
+        n_batches, iters = (512 if materialize else 64), N_ITERS
 
     out = {}
     for mode, emit_onehot in (("codes", False), ("onehot", True)):
@@ -820,11 +836,12 @@ def bench_windows() -> dict:
         )
         b = sampler.sample_many(n_batches)  # compile
         jax.block_until_ready(b.hap1)
-        ts = _time_sampler(sampler, n_batches, iters)
+        ts = _time_sampler(sampler, n_batches, iters, materialize=materialize)
         st = stats(ts)
         wps = B * n_batches / st["median_s"]
         out[mode] = wps
         out[f"{mode}_stats"] = st
+        out["materialized"] = materialize
         flag = _roofline_flag(wps, L, onehot=emit_onehot)
         if flag:
             out[f"{mode}_note"] = flag
@@ -854,7 +871,7 @@ def _roofline_flag(wps: float, L: int, onehot: bool = False) -> str | None:
     return None
 
 
-def bench_window_kernels() -> dict:
+def bench_window_kernels(materialize: bool = False) -> dict:
     """3-way shoot-out of the bit-equal window kernels (baseline jnp /
     fast word-gather / Pallas DMA) on the chip — the sampler default is
     whichever wins here (VERDICT r2 #2).  Median-of-N_ITERS decides."""
@@ -901,7 +918,8 @@ def bench_window_kernels() -> dict:
     # on identical code); probe one round and shrink the round count so a
     # slow-mode stage can't starve the stages that follow it
     probe = [
-        _time_sampler(s, n_batches, 1, key_offset=10_000)[0]
+        _time_sampler(s, n_batches, 1, key_offset=10_000,
+                      materialize=materialize)[0]
         for s in samplers.values()
     ]
     round_cost = sum(probe)
@@ -915,7 +933,8 @@ def bench_window_kernels() -> dict:
     for r in range(iters):
         for kernel, sampler in samplers.items():
             times[kernel].extend(
-                _time_sampler(sampler, n_batches, 1, key_offset=r)
+                _time_sampler(sampler, n_batches, 1, key_offset=r,
+                              materialize=materialize)
             )
     wins = {k: 0 for k in samplers}
     for r in range(iters):
@@ -942,6 +961,7 @@ def bench_window_kernels() -> dict:
         key=lambda k: (wins[k], -stats(times[k])["median_s"]),
     ) if samplers else "none"
     out["winner"] = winner
+    out["materialized"] = materialize
     log(f"window kernel winner (paired round wins): {winner}")
     return out
 
@@ -1258,8 +1278,8 @@ def main() -> None:
 
     # ordered by judge priority; min_time gates keep the watchdog honest
     aux_stages = [
-        ("windows", lambda: bench_windows(), 45),
-        ("window_kernels", lambda: bench_window_kernels(), 60),
+        ("windows", lambda: bench_windows(materialize=d2h_ok), 45),
+        ("window_kernels", lambda: bench_window_kernels(materialize=d2h_ok), 60),
         (
             "whole_genome",
             lambda: bench_whole_genome(threads, device_decode=exec_ok and d2h_ok),
