@@ -54,10 +54,23 @@ class _PyFasta:
 
 
 class FastaReader:
-    """Uniform FASTA interface over the native shim / Python fallback."""
+    """Uniform FASTA interface: faidx seek-fetch when a ``.fai`` index
+    sits next to an uncompressed file (O(range) fetches, samtools-
+    compatible — build one with ``haplohyped faidx``), else the native
+    shim / Python whole-file fallback."""
 
     def __init__(self, path: str, use_native: bool | None = None):
+        import os
+
         self.path = path
+        if os.path.exists(path + ".fai"):
+            with open(path, "rb") as f:
+                gz = f.read(2) == b"\x1f\x8b"
+            if not gz:
+                from haplohyped_tpu.hostio.fai import FaidxFasta
+
+                self._impl = FaidxFasta(path)
+                return
         if use_native is None:
             use_native = native.native_available()
         if use_native and native.native_available():

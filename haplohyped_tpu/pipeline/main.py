@@ -13,9 +13,20 @@ def main():
     """haplohyped_tpu — TPU-native genotype-tensor engine."""
 
 
+@click.command()
+@click.argument("fasta", type=click.Path(exists=True))
+def faidx_cmd(fasta):
+    """Build a samtools-compatible .fai index for a plain FASTA."""
+    from haplohyped_tpu.hostio.fai import build_fai
+
+    records = build_fai(fasta)
+    click.echo(f"{fasta}.fai: {len(records)} sequences indexed")
+
+
 main.add_command(vcf_to_h5_cmd, name="vcf_to_h5")
 main.add_command(fasta_encoder_cmd, name="fasta_encoder")
 main.add_command(doctor_cmd, name="doctor")
+main.add_command(faidx_cmd, name="faidx")
 
 
 if __name__ == "__main__":
