@@ -1064,6 +1064,7 @@ def _result_json() -> dict:
     for k in (
         "windows_per_sec",
         "windows_per_sec_onehot",
+        "windows_materialized",
         "window_kernels",
         "cohort_donor_variants_per_sec",
         "decode12_xla_vps",
@@ -1319,6 +1320,7 @@ def main() -> None:
             elif name == "windows":
                 _PARTIAL["windows_per_sec"] = round(val["codes"])
                 _PARTIAL["windows_per_sec_onehot"] = round(val["onehot"])
+                _PARTIAL["windows_materialized"] = val.get("materialized", False)
             else:
                 _PARTIAL[name] = val
         except Exception as exc:  # aux stages must not kill the headline
