@@ -128,11 +128,17 @@ class SamplerConfig:
     #: static cap on variants applied per window (jit-friendly upper bound);
     #: windows with more in-window SNPs are truncated (counted in stats).
     max_variants_per_window: int = 128
-    #: window-encode kernel: "baseline" (jnp gather/select), "fast" (word
-    #: gather + two-level search), or "pallas" (explicit-DMA TPU kernel).
-    #: All three are bit-equal (tests/test_window_kernels.py); the default
-    #: is the bench winner on a v5e chip (bench.py window_kernels stage).
-    window_kernel: str = "fast"
+    #: window-encode kernel: "auto", "baseline" (jnp gather/select), "fast"
+    #: (word gather + two-level search), or "pallas" (explicit-DMA TPU
+    #: kernel).  All three are bit-equal (tests/test_window_kernels.py).
+    #: "auto" resolves at sampler construction: Pallas on TPU — the only
+    #: kernel whose advantage was ever confirmed by a d2h-verified
+    #: measurement (0.235s vs 4.97s/9.1s for a 2048-dispatch chain on a
+    #: remote-dispatch rig: one opaque kernel per step instead of an XLA
+    #: op-graph amortizes per-step dispatch), and within noise of the
+    #: others under direct execution — "fast" elsewhere (Pallas would be
+    #: interpret-mode off-TPU: a correctness tool, not a fast path).
+    window_kernel: str = "auto"
 
 
 def chrom_list(chromosomes: Sequence[int | str]) -> list[str]:

@@ -240,6 +240,13 @@ class DeviceHaplotypeSampler:
         self.onehot_dtype = onehot_dtype
         self.emit_onehot = emit_onehot
         self.kernel = config.window_kernel
+        if self.kernel == "auto":
+            # Pallas on TPU (d2h-verified winner on remote-dispatch rigs,
+            # within noise under direct execution), word-gather elsewhere
+            # (Pallas off-TPU is interpret mode — correctness, not speed)
+            self.kernel = (
+                "pallas" if jax.default_backend() == "tpu" else "fast"
+            )
         # Pallas lowers on TPU only; CPU (tests) runs it in interpret mode
         self._interpret = (
             self.kernel == "pallas" and jax.default_backend() != "tpu"

@@ -132,11 +132,11 @@ def windows_to_onehot(codes: jax.Array, num_channels: int = 5, dtype=jnp.float32
 
 # ---------------------------------------------------------------------
 # Fast path: same semantics as encode_haplotype_windows, restructured for
-# TPU gather cost.  THE SAMPLER DEFAULT (SamplerConfig.window_kernel =
-# "fast"): in the bench's paired 3-way shoot-out (bench.py window_kernels
-# stage) the three kernels sit within rig noise of each other and this one
-# leads in the majority of recorded runs.  Bit-equal outputs; parity
-# pinned by tests/test_window_kernels.py.
+# TPU gather cost.  The sampler default OFF-TPU (window_kernel="auto"
+# resolves here on CPU/GPU, where pallas_window would be interpret-mode);
+# on TPU "auto" picks the Pallas kernel — the only one whose advantage a
+# d2h-verified measurement ever confirmed.  All three are bit-equal;
+# parity pinned by tests/test_window_kernels.py.
 #
 # Three changes versus the reference kernel above, each attacking a
 # measured hot spot (per 64-window batch on a v5e chip):

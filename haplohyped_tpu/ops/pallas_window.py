@@ -3,14 +3,14 @@
 One of the three bit-equal window-encode kernels selectable via
 ``SamplerConfig.window_kernel`` (reference semantics:
 ``haplotype_dataset.py:86-110`` — reference-genome window with per-phase
-ALT substitution at in-window variant positions).  NOT the default: the
-bench's paired 3-way shoot-out (``bench.py`` ``window_kernels`` stage)
-has all three kernels within rig noise of each other, with the ``fast``
-word-gather XLA kernel ahead in the majority of recorded runs — that
-majority sets the default.  This kernel is kept as the explicit-DMA
-formulation — it wins some runs outright, is useful where the XLA gather
-lowering regresses, and is the scaffold for window shapes the gather
-path handles poorly.
+ALT substitution at in-window variant positions).  THE TPU DEFAULT
+(``window_kernel="auto"`` resolves here on TPU): in the bench's paired
+shoot-out the three kernels sit within rig noise under direct execution,
+but the only d2h-VERIFIED comparison ever recorded has this kernel 21-39x
+ahead (0.235s vs 4.97s/9.1s for a 2048-dispatch chain on a
+remote-dispatch rig — one opaque kernel per step amortizes per-step
+dispatch where an XLA op-graph pays it per op).  Off-TPU, "auto" picks
+the word-gather ``fast`` kernel (Pallas would be interpret-mode there).
 
 Design notes: every gather is replaced with explicit, tile-aligned
 HBM->VMEM DMAs.  Mosaic's alignment rules shape the whole design: 2-D

@@ -146,11 +146,14 @@ def render_arch_block(nums: dict) -> str:
         lines.append(
             f"- window kernels, paired shoot-out (each round times all "
             f"kernels back-to-back): {', '.join(parts)} — this run's winner: "
-            f"**{wk.get('winner', '?')}**.  The three kernels are bit-equal "
-            f"and within rig noise of each other run-to-run; the sampler "
-            f"default (`SamplerConfig.window_kernel`, word-gather `fast`) "
-            f"follows the majority of recorded runs and is selectable "
-            f"per-sampler."
+            f"**{wk.get('winner', '?')}**"
+            + (" (d2h-verified run)" if wk.get("materialized") else
+               " (upper bounds; relay acked without materialization)")
+            + ".  The three kernels are bit-equal; the sampler default "
+            "(`SamplerConfig.window_kernel=\"auto\"`) resolves to the "
+            "Pallas kernel on TPU — the only kernel a d2h-verified "
+            "measurement ever put ahead — and to the word-gather `fast` "
+            "kernel elsewhere; all are selectable per-sampler."
         )
     dr = nums.get("device_roofline")
     if dr and dr.get("method") != "chained-scan+d2h-fetch":
