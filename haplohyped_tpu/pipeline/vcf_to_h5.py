@@ -901,6 +901,13 @@ class VCFtoHDF5Converter:
             had_errors = any(r.error is not None for r in self.results)
             if cleanup and not had_errors:
                 shutil.rmtree(self.tmp_dir, ignore_errors=True)
+            elif had_errors and direct:
+                logger.warning(
+                    "direct-write output %s is incomplete; rerun with "
+                    "resume=True (redoes every task through per-shard temp "
+                    "artifacts, then rebuilds the cohort file)",
+                    self.config.final_h5_path,
+                )
             elif had_errors:
                 logger.warning(
                     "temp shards kept in %s — rerun with resume=True to "

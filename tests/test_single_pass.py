@@ -212,3 +212,75 @@ class TestSinglePassCohort:
         assert sum(1 for r in results if not r.error) == 5
         with h5py.File(conv.config.final_h5_path) as f:
             assert len(f.keys()) == 5
+
+
+class TestDirectWriteCrashRecovery:
+    """A direct-write run that dies mid-write leaves a partial cohort file;
+    rerunning with resume=True must rebuild a COMPLETE, correct artifact
+    (resume routes through per-shard temp files + a truncating merge)."""
+
+    def test_failed_direct_run_then_resume(self, cohort_dir, tmp_path, monkeypatch):
+        import h5py
+
+        from haplohyped_tpu.pipeline import vcf_to_h5 as V
+
+        real = V.write_dataset_direct
+        calls = {"n": 0}
+
+        def flaky(group, name, data, kw, workers=4):
+            calls["n"] += 1
+            if calls["n"] == 3:  # die on the 3rd donor's write
+                raise OSError("injected disk failure")
+            return real(group, name, data, kw, workers=workers)
+
+        monkeypatch.setattr(V, "write_dataset_direct", flaky)
+        crashed = VCFtoHDF5Converter(
+            cohort_name="cr",
+            vcf_dir=str(cohort_dir),
+            out_dir=str(tmp_path),
+            sample_list_path=str(cohort_dir / "samples.txt"),
+            cores=1,
+            cxx_threads=2,
+            chromosomes=[1],
+            device_decode=False,
+        )
+        results = crashed.run()
+        assert any(r.error for r in results)
+
+        monkeypatch.setattr(V, "write_dataset_direct", real)
+        resumed = VCFtoHDF5Converter(
+            cohort_name="cr",
+            vcf_dir=str(cohort_dir),
+            out_dir=str(tmp_path),
+            sample_list_path=str(cohort_dir / "samples.txt"),
+            cores=1,
+            cxx_threads=2,
+            chromosomes=[1],
+            device_decode=False,
+            resume=True,
+        )
+        results = resumed.run()
+        assert not any(r.error for r in results)
+
+        clean_dir = tmp_path / "clean"
+        clean = VCFtoHDF5Converter(
+            cohort_name="cr",
+            vcf_dir=str(cohort_dir),
+            out_dir=str(clean_dir),
+            sample_list_path=str(cohort_dir / "samples.txt"),
+            cores=1,
+            cxx_threads=2,
+            chromosomes=[1],
+            device_decode=False,
+        )
+        assert not any(r.error for r in clean.run())
+        with h5py.File(resumed.config.final_h5_path) as fa, h5py.File(
+            clean.config.final_h5_path
+        ) as fb:
+            assert sorted(fa.keys()) == sorted(fb.keys())
+            for donor in fb.keys():
+                np.testing.assert_array_equal(
+                    fa[f"{donor}/chr_1/snp_data"][()],
+                    fb[f"{donor}/chr_1/snp_data"][()],
+                    err_msg=donor,
+                )
