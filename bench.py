@@ -184,6 +184,34 @@ def device_health(timeout_s: float = 45.0, retries: int = 2) -> tuple[bool, bool
     return exec_seen, d2h_ok
 
 
+
+def _d2h_probe_once(timeout_s: float = 30.0) -> bool:
+    """One subprocess d2h probe (see device_health for why a subprocess)."""
+    import subprocess
+
+    try:
+        return (
+            subprocess.run(
+                [
+                    sys.executable,
+                    "-c",
+                    "import os, jax;"
+                    "os.environ.get('JAX_PLATFORMS') == 'cpu' and"
+                    " jax.config.update('jax_platforms', 'cpu');"
+                    "import numpy as np;"
+                    "x = jax.jit(lambda a: a * 2)(jax.numpy.arange(16));"
+                    "assert int(np.asarray(jax.device_get(x))[1]) == 2",
+                ],
+                timeout=timeout_s,
+                capture_output=True,
+                env=dict(os.environ),
+            ).returncode
+            == 0
+        )
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def bgzf_write(path: str, text: bytes, level: int = 1) -> None:
     """Write bytes as BGZF (64KB gzip blocks with BC extra field) so the
     native reader can decompress blocks in parallel — the real-world format
@@ -1262,6 +1290,20 @@ def main() -> None:
         return budget * 0.8 - (time.time() - t_start)
 
     exec_ok, d2h_ok = device_health()
+    # the relay's d2h health FLAPS on minute scales: the worker-start bit
+    # goes stale by the time the stages that need d2h run.  Re-probe once
+    # lazily at stage time when the start probe failed.
+    _d2h = {"ok": d2h_ok, "rechecked": False}
+
+    def d2h_now() -> bool:
+        if _d2h["ok"] or _d2h["rechecked"]:
+            return _d2h["ok"]
+        _d2h["rechecked"] = True
+        _d2h["ok"] = _d2h_probe_once()
+        if _d2h["ok"]:
+            log("d2h recovered at stage time; materialized measurements on")
+        return _d2h["ok"]
+
     if exec_ok and d2h_ok:
         # pre-start the converter's link-bandwidth probe so its jax
         # bring-up overlaps the stages that run before whole_genome
@@ -1279,8 +1321,8 @@ def main() -> None:
 
     # ordered by judge priority; min_time gates keep the watchdog honest
     aux_stages = [
-        ("windows", lambda: bench_windows(materialize=d2h_ok), 45),
-        ("window_kernels", lambda: bench_window_kernels(materialize=d2h_ok), 60),
+        ("windows", lambda: bench_windows(materialize=d2h_now()), 45),
+        ("window_kernels", lambda: bench_window_kernels(materialize=d2h_now()), 60),
         (
             "whole_genome",
             lambda: bench_whole_genome(threads, device_decode=exec_ok and d2h_ok),
@@ -1297,7 +1339,7 @@ def main() -> None:
             # the stage's anti-eliding design REQUIRES a d2h fetch in the
             # timed region; on a wedged-d2h relay it would hang
             lambda: bench_device_roofline(vcf, sample, threads)
-            if d2h_ok
+            if d2h_now()
             else {"note": "skipped: d2h unhealthy (stage needs the fetch)"},
             30,
         ),
