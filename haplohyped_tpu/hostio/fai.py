@@ -62,33 +62,59 @@ def build_fai(fasta_path: str, fai_path: str | None = None) -> dict[str, FaiReco
     linebases = 0
     linewidth = 0
     prev_line_len = None  # bases on the previous sequence line
+    pending_blank = False  # blank line seen inside the current record
+
+    def flush() -> None:
+        # the interior-uniformity check below lags one line, so the FINAL
+        # line of a record is validated here: it may be short (standard)
+        # but a line longer than linebases breaks the seek math silently
+        if prev_line_len is not None and prev_line_len > linebases:
+            raise ValueError(
+                f"sequence {name!r}: final line ({prev_line_len} bases) "
+                f"exceeds the record's line length ({linebases}); "
+                "cannot faidx-index"
+            )
+        records[name] = FaiRecord(name, length, offset, linebases, linewidth)
+
     with open(fasta_path, "rb") as f:
         pos = 0
         for raw in f:
             line = raw.rstrip(b"\r\n")
             if raw.startswith(b">"):
                 if name is not None:
-                    records[name] = FaiRecord(name, length, offset, linebases, linewidth)
+                    flush()
                 name = raw[1:].split()[0].decode()
                 length = 0
                 offset = pos + len(raw)
                 linebases = 0
                 linewidth = 0
                 prev_line_len = None
-            elif line and name is not None:
-                if prev_line_len is not None and prev_line_len != linebases:
-                    raise ValueError(
-                        f"irregular line length in sequence {name!r}; "
-                        "cannot faidx-index"
-                    )
-                if linebases == 0:
-                    linebases = len(line)
-                    linewidth = len(raw)
-                prev_line_len = len(line)
-                length += len(line)
+                pending_blank = False
+            elif name is not None:
+                if not line:
+                    # trailing blanks are fine; a blank FOLLOWED by more
+                    # sequence for the same record is caught below
+                    pending_blank = True
+                else:
+                    if pending_blank:
+                        raise ValueError(
+                            f"blank line inside sequence {name!r}; "
+                            "cannot faidx-index (seek math would serve "
+                            "wrong bases)"
+                        )
+                    if prev_line_len is not None and prev_line_len != linebases:
+                        raise ValueError(
+                            f"irregular line length in sequence {name!r}; "
+                            "cannot faidx-index"
+                        )
+                    if linebases == 0:
+                        linebases = len(line)
+                        linewidth = len(raw)
+                    prev_line_len = len(line)
+                    length += len(line)
             pos += len(raw)
         if name is not None:
-            records[name] = FaiRecord(name, length, offset, linebases, linewidth)
+            flush()
 
     fai_path = fai_path or fasta_path + ".fai"
     with open(fai_path, "w") as f:

@@ -66,7 +66,7 @@ class FastaReader:
         if os.path.exists(path + ".fai"):
             with open(path, "rb") as f:
                 gz = f.read(2) == b"\x1f\x8b"
-            if not gz:
+            if not gz and self._fai_fresh(path):
                 from haplohyped_tpu.hostio.fai import FaidxFasta
 
                 self._impl = FaidxFasta(path)
@@ -77,6 +77,44 @@ class FastaReader:
             self._impl = native.NativeFasta(path)
         else:
             self._impl = _PyFasta(path)
+
+    @staticmethod
+    def _fai_fresh(path: str) -> bool:
+        """Cheap staleness guard: a FASTA rewritten after indexing makes
+        the seek math serve wrong bases with no error.  Verify the last
+        record's computed end offset fits the file size (and that the
+        index isn't older than the FASTA); on mismatch fall back to the
+        whole-file reader with a warning."""
+        import logging
+        import os
+
+        from haplohyped_tpu.hostio.fai import read_fai
+
+        try:
+            recs = read_fai(path + ".fai")
+            if not recs:
+                return False
+            last = recs[next(reversed(recs))]
+            full_lines, rem = divmod(last.length, max(last.linebases, 1))
+            # minimal bytes the record's bases need (the final line may
+            # legitimately lack its trailing newline)
+            if rem:
+                end = last.offset + full_lines * last.linewidth + rem
+            elif full_lines:
+                end = last.offset + (full_lines - 1) * last.linewidth + last.linebases
+            else:
+                end = last.offset
+            fsize = os.path.getsize(path)
+            fresh = end <= fsize and os.path.getmtime(path + ".fai") >= os.path.getmtime(path)
+            if not fresh:
+                logging.getLogger(__name__).warning(
+                    ".fai index for %s is stale (indexed end %d vs file "
+                    "size %d, or older mtime); using the whole-file reader",
+                    path, end, fsize,
+                )
+            return fresh
+        except Exception:
+            return False
 
     def names(self) -> list[str]:
         return self._impl.names()

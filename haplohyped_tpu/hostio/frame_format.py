@@ -198,6 +198,13 @@ V2F_REF1 = 2  # ref_len == 1
 V2F_ALT1 = 4  # alt_len == 1
 V2F_POS_ESCAPE = 8  # absolute POS carried in the exception arrays
 
+#: ``stop`` sentinel for v2-decoded rows whose REF is multi-base: the v2
+#: layout carries no REF length, so ``stop = start + 1`` is only valid
+#: under the ref1 predicate — non-SNP rows get this value so a consumer
+#: that skips the predicate fails loudly (End() = pos + rlen semantics,
+#: reference cpp/vcfpp.h:1118-1127)
+V2_STOP_SENTINEL = 0xFFFFFFFF
+
 V2_GT_CLASS_ZERO = 0  # '0'
 V2_GT_CLASS_NONZERO = 1  # '1'..'9'
 V2_GT_CLASS_MISSING = 2  # '.'

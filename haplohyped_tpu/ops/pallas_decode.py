@@ -229,8 +229,10 @@ def _decode12_kernel(
 
 
 #: records per grid step for the 12-byte kernel — smaller than B_REC because
-#: the 12-wide uint8 block pads to full 128-lane tiles in VMEM and the
-#: 8 int32 output vectors ride the same scoped-vmem budget
+#: the 12-wide uint8 block pads to full 128-lane tiles in VMEM; the packed
+#: layout leaves 3 int32 output vectors on the same scoped-vmem budget
+#: (room to raise this, but 1024 already sits past the dispatch knee on
+#: the measured corpus sizes)
 B12_REC = 1024
 
 

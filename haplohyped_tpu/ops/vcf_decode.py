@@ -275,6 +275,7 @@ def decode_frames_v2(
         V2F_ALT1,
         V2F_POS_ESCAPE,
         V2F_REF1,
+        V2_STOP_SENTINEL,
         V2F_WELL_FORMED,
         V2G_DIPLOID,
         V2G_HAS_GT,
@@ -302,7 +303,10 @@ def decode_frames_v2(
     corr = jnp.zeros((n,), jnp.uint32).at[ei].add(c, mode="drop")
     pos = base + jnp.cumsum(corr, dtype=jnp.uint32)
     start = pos - 1
-    stop = start + 1  # SNP rows only (see docstring)
+    ref1 = (flags & V2F_REF1) != 0
+    # multi-base REFs get the sentinel: v2 carries no REF length, so
+    # start+1 would be silently wrong for them (see V2_STOP_SENTINEL)
+    stop = jnp.where(ref1, start + 1, jnp.uint32(V2_STOP_SENTINEL))
 
     # --- REF/ALT + SNP predicate ----------------------------------------
     ref_char = fixed[:, V2_REF_OFF]
@@ -314,7 +318,6 @@ def decode_frames_v2(
         | (alt_char == ord("G"))
         | (alt_char == ord("T"))
     )
-    ref1 = (flags & V2F_REF1) != 0
     alt1 = (flags & V2F_ALT1) != 0
     snp_mask = ref1 & alt1 & is_acgt
     well_formed = (flags & V2F_WELL_FORMED) != 0
@@ -402,6 +405,7 @@ def decode_frames_v2_numpy(
         V2F_ALT1,
         V2F_POS_ESCAPE,
         V2F_REF1,
+        V2_STOP_SENTINEL,
         V2F_WELL_FORMED,
         V2G_DIPLOID,
         V2G_HAS_GT,
@@ -427,12 +431,12 @@ def decode_frames_v2_numpy(
     np.add.at(corr, ei, c)
     pos = base + np.cumsum(corr, dtype=np.uint32)
     start = pos - 1
-    stop = start + 1
+    ref1 = (flags & V2F_REF1) != 0
+    stop = np.where(ref1, start + 1, np.uint32(V2_STOP_SENTINEL))
 
     ref_char = fixed[:, V2_REF_OFF]
     alt_char = fixed[:, V2_ALT_OFF]
     is_acgt = np.isin(alt_char, np.frombuffer(b"ACGT", dtype=np.uint8))
-    ref1 = (flags & V2F_REF1) != 0
     alt1 = (flags & V2F_ALT1) != 0
     snp_mask = ref1 & alt1 & is_acgt
     well_formed = (flags & V2F_WELL_FORMED) != 0

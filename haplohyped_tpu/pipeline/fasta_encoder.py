@@ -96,9 +96,18 @@ def _encode_onehot_and_codes(raw: bytes, device: bool = True):
 
             from haplohyped_tpu.ops.onehot import ascii_to_codes, codes_to_onehot
 
-            codes = ascii_to_codes(jax.numpy.asarray(arr))
+            # the probe's host-encoded prefix is reused here too: the
+            # device only encodes the remainder (elementwise op, so the
+            # split is seamless)
+            rest = arr if prefix is None else arr[4 << 20 :]
+            codes = ascii_to_codes(jax.numpy.asarray(rest))
             onehot = codes_to_onehot(codes)
-            return np.asarray(jax.device_get(onehot)), np.asarray(jax.device_get(codes))
+            oh = np.asarray(jax.device_get(onehot))
+            cd = np.asarray(jax.device_get(codes))
+            if prefix is not None:
+                oh = np.concatenate([prefix[0], oh])
+                cd = np.concatenate([prefix[1], cd])
+            return oh, cd
         except Exception as exc:  # pragma: no cover - device fallback
             logger.warning("device one-hot failed (%s); using numpy", exc)
     return _encode_host(arr)

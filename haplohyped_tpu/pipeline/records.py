@@ -112,6 +112,17 @@ def snp_structs_from_v2(
     phase2 = np.asarray(decoded["phase2"])
     table_s5 = np.array(chrom_table if chrom_table else [""], dtype="S5")
 
+    # the v2 layout has no REF length: stop is only valid under the ref1
+    # predicate (multi-base REFs carry V2_STOP_SENTINEL).  snp_mask implies
+    # ref1 by construction, so a sentinel surviving the keep mask means a
+    # caller bypassed the predicate — fail loudly instead of writing wrong
+    # intervals (End() = pos + rlen, reference cpp/vcfpp.h:1118-1127).
+    if snp.any() and (stop[snp] != start[snp] + 1).any():
+        raise ValueError(
+            "v2 decode: kept rows carry the multi-base-REF stop sentinel; "
+            "the SNP predicate was not applied before struct assembly"
+        )
+
     out: dict[str, np.ndarray] = {}
     for s, donor in enumerate(samples):
         keep = snp & valid[:, s]

@@ -32,8 +32,16 @@ M_ARENA_MAX = -8
 _done = False
 
 
-def tune_malloc(threshold_bytes: int = 1 << 30) -> bool:
+def tune_malloc(threshold_bytes: int = (1 << 31) - 1) -> bool:
     """Keep freed large buffers in the malloc arena for reuse.
+
+    The default is INT_MAX (mallopt takes an int): with the old 1 GiB
+    threshold, any single allocation >= 1 GiB was served by mmap and
+    munmap'd on free — which silently un-did :func:`prefault_arena` for
+    exactly the large cohorts it targets (verified: RSS retained 0 bytes
+    after a 1.5 GiB prefault vs full retention at 512 MB) — and a freed
+    arena top beyond 1 GiB was trimmed back to the OS.  INT_MAX keeps both
+    paths in the arena for everything a 32-bit mallopt can express.
 
     Returns True when applied (glibc found and mallopt succeeded)."""
     global _done
@@ -87,29 +95,49 @@ def prefault_arena(nbytes: int, background: bool = True) -> threading.Thread | N
             return None
         _prefaulted_bytes = nbytes
 
+    # each block stays below the (INT_MAX) mmap threshold so glibc serves
+    # it from the brk arena — a single super-threshold malloc would be
+    # mmap'd and munmap'd on free, retaining zero pages (the silent no-op
+    # ADVICE r3 flagged); all blocks are held live until every one is
+    # touched, then freed together, and the raised trim threshold keeps
+    # the coalesced top resident
+    _BLOCK = 1 << 30
+
     def _touch(n: int = want) -> None:
         global _prefaulted_bytes
+        ptrs: list[tuple[int, int]] = []
         try:
             libc = _libc()
             libc.malloc.restype = ctypes.c_void_p
-            ptr = libc.malloc(ctypes.c_size_t(n))
-            if not ptr:
-                raise MemoryError
-            # malloc doesn't touch the pages; advise THP first so the
-            # memset below populates them as hugepages
-            a0 = (ptr + _HUGE - 1) & ~(_HUGE - 1)
-            end = (ptr + n) & ~(_HUGE - 1)
-            if end > a0:
-                libc.madvise(
-                    ctypes.c_void_p(a0),
-                    ctypes.c_size_t(end - a0),
-                    MADV_HUGEPAGE,
-                )
-            libc.memset(ctypes.c_void_p(ptr), 0, ctypes.c_size_t(n))
-            libc.free(ctypes.c_void_p(ptr))
+            left = n
+            while left > 0:
+                blk = min(left, _BLOCK)
+                ptr = libc.malloc(ctypes.c_size_t(blk))
+                if not ptr:
+                    raise MemoryError
+                ptrs.append((ptr, blk))
+                left -= blk
+            for ptr, blk in ptrs:
+                # malloc doesn't touch the pages; advise THP first so the
+                # memset below populates them as hugepages
+                a0 = (ptr + _HUGE - 1) & ~(_HUGE - 1)
+                end = (ptr + blk) & ~(_HUGE - 1)
+                if end > a0:
+                    libc.madvise(
+                        ctypes.c_void_p(a0),
+                        ctypes.c_size_t(end - a0),
+                        MADV_HUGEPAGE,
+                    )
+                libc.memset(ctypes.c_void_p(ptr), 0, ctypes.c_size_t(blk))
         except Exception:
             with _prefault_lock:
                 _prefaulted_bytes -= n
+        finally:
+            try:
+                for ptr, _ in ptrs:
+                    libc.free(ctypes.c_void_p(ptr))
+            except Exception:
+                pass
 
     if background:
         t = threading.Thread(target=_touch, daemon=True, name="hh-prefault")

@@ -98,3 +98,74 @@ class TestFai:
         res = CliRunner().invoke(cli, ["faidx", path])
         assert res.exit_code == 0, res.output
         assert "3 sequences indexed" in res.output
+
+
+class TestFaiStrictness:
+    """ADVICE r3: inputs samtools faidx rejects must not be silently
+    indexed — a longer-than-linebases FINAL line or a blank interior line
+    makes seek-fetch serve wrong bases."""
+
+    def test_long_final_line_rejected(self, tmp_path):
+        p = tmp_path / "longfinal.fa"
+        p.write_bytes(b">c\nACGT\nACGTACGT\n")
+        with pytest.raises(ValueError, match="final line"):
+            build_fai(str(p))
+
+    def test_blank_interior_line_rejected(self, tmp_path):
+        p = tmp_path / "blank.fa"
+        p.write_bytes(b">c\nACGT\n\nGGTT\n")
+        with pytest.raises(ValueError, match="blank line"):
+            build_fai(str(p))
+
+    def test_blank_after_header_rejected(self, tmp_path):
+        p = tmp_path / "blankhdr.fa"
+        p.write_bytes(b">c\n\nACGT\n")
+        with pytest.raises(ValueError, match="blank line"):
+            build_fai(str(p))
+
+    def test_trailing_blank_lines_ok(self, tmp_path):
+        p = tmp_path / "trail.fa"
+        p.write_bytes(b">c\nACGT\nAC\n\n\n>d\nGGGG\n")
+        recs = build_fai(str(p))
+        assert recs["c"].length == 6 and recs["d"].length == 4
+        fx = FaidxFasta(str(p))
+        assert fx.fetch("c", 0, 6) == b"ACGTAC"
+        fx.close()
+
+    def test_short_final_line_ok(self, tmp_path):
+        p = tmp_path / "short.fa"
+        p.write_bytes(b">c\nACGT\nAC\n")
+        recs = build_fai(str(p))
+        assert recs["c"].length == 6
+
+
+class TestFaiStaleness:
+    """ADVICE r3: a FASTA rewritten after indexing must not be served by
+    seek math from the stale index."""
+
+    def test_stale_index_falls_back(self, tmp_path):
+        import os
+        import time
+
+        p = tmp_path / "s.fa"
+        p.write_bytes(b">c\n" + b"A" * 60 + b"\n" + b"C" * 60 + b"\n")
+        build_fai(str(p))
+        # rewrite SHORTER after indexing: computed end exceeds file size
+        time.sleep(0.01)
+        p.write_bytes(b">c\n" + b"G" * 30 + b"\n")
+        os.utime(str(p) + ".fai", (0, 0))  # make the index older too
+        r = FastaReader(str(p))
+        # whole-file fallback serves the REWRITTEN truth
+        assert r.fetch("c", 0, 30) == b"G" * 30
+        assert r.length("c") == 30
+        r.close()
+
+    def test_fresh_index_still_preferred(self, fasta):
+        from haplohyped_tpu.hostio.fai import FaidxFasta as FF
+
+        path, seqs = fasta
+        build_fai(path)
+        r = FastaReader(path)
+        assert isinstance(r._impl, FF)
+        assert r.fetch("chr1", 10, 50) == seqs["chr1"][10:50]
+        r.close()

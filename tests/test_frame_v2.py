@@ -346,3 +346,41 @@ class TestStructAssembly:
                 decode_frames12_numpy(rec12), chroms, chrom_filter="chr22"
             )
             np.testing.assert_array_equal(structs[name], ref)
+
+
+class TestV2StopSentinel:
+    """VERDICT r3 weak #6: v2 carries no REF length, so ``stop`` is only
+    valid under the ref1 predicate.  Multi-base REFs must carry the
+    sentinel, and struct assembly must refuse to emit a sentinel row."""
+
+    def test_multi_base_ref_gets_sentinel(self, edge_vcf):
+        from haplohyped_tpu.hostio.frame_format import V2_STOP_SENTINEL
+
+        fv = VCFSource(edge_vcf).frame_v2(samples=["s1", "s2"])
+        dv = decode_v2_np(fv)
+        # row 3 is the GTC->G indel: sentinel, not start+1
+        assert dv["stop"][3] == np.uint32(V2_STOP_SENTINEL)
+        # SNP rows keep exact start+1 semantics
+        snp = dv["snp_mask"]
+        np.testing.assert_array_equal(dv["stop"][snp], dv["start"][snp] + 1)
+
+    def test_device_kernel_matches_sentinel(self, edge_vcf):
+        fv = VCFSource(edge_vcf).frame_v2(samples=["s1", "s2"])
+        ei, ep, rc, ri = pad_v2_sides(fv)
+        dev = decode_frames_v2(fv.fixed, fv.gt, ei, ep, rc, ri)
+        np_dec = decode_v2_np(fv)
+        np.testing.assert_array_equal(np.asarray(dev["stop"]), np_dec["stop"])
+
+    def test_struct_assembly_rejects_bypassed_predicate(self, edge_vcf):
+        from haplohyped_tpu.pipeline.records import snp_structs_from_v2
+
+        fv = VCFSource(edge_vcf).frame_v2(samples=["s1", "s2"])
+        dv = decode_v2_np(fv)
+        # honest predicate: fine
+        snp_structs_from_v2(dv, fv.chroms, ["s1", "s2"])
+        # a caller that force-keeps the indel row must fail loudly
+        bad = dict(dv)
+        bad["snp_mask"] = dv["snp_mask"].copy()
+        bad["snp_mask"][3] = True
+        with pytest.raises(ValueError, match="sentinel"):
+            snp_structs_from_v2(bad, fv.chroms, ["s1", "s2"])
