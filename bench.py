@@ -555,17 +555,43 @@ def bench_device_roofline(vcf: str, sample: str, threads: int) -> dict:
     rec = np.ascontiguousarray(np.tile(rec, (8, 1)))
     n = rec.shape[0]
 
-    kernels = {"xla": lambda r: decode_frames12(r)}
+    #: name -> (fn taking the carried buffer, carried buffer host-side,
+    #:          input bytes per decode)
+    kernels: dict = {"xla": (lambda r: decode_frames12(r), rec, 12 * n)}
     if jax.default_backend() == "tpu":
         from haplohyped_tpu.ops.pallas_decode import B12_REC, _pallas_decode12_call
 
         # the converter's TPU production kernel — measure what ships;
         # pad the record axis to the kernel's grid block
         n_pad = max(-(-n // B12_REC) * B12_REC, B12_REC)
+        rec_p = rec
         if n_pad != n:
-            rec = np.vstack([rec, np.zeros((n_pad - n, 12), np.uint8)])
-        kernels["pallas"] = lambda r: _pallas_decode12_call(r, True)
-    rec_dev = jax.device_put(rec, dev)
+            rec_p = np.vstack([rec, np.zeros((n_pad - n, 12), np.uint8)])
+        kernels["pallas"] = (
+            lambda r: _pallas_decode12_call(r, True), rec_p, 12 * n_pad
+        )
+
+    # the v2 kernel (the single-pass converter's production decode): carry
+    # the 5-byte fixed matrix; gt + side arrays are device-resident
+    # closure constants (they're read every decode — counted in in_bytes)
+    from haplohyped_tpu.hostio import native as _nat
+    from haplohyped_tpu.ops.vcf_decode import decode_frames_v2, pad_v2_sides
+
+    fr = _nat.vcf_frame_v2(vcf, sample, None, threads=threads)
+    t8 = 8 if fr.n * 8 <= 20_000_000 else max(1, 20_000_000 // max(fr.n, 1))
+    fx = np.ascontiguousarray(np.tile(fr.fixed, (t8, 1)))
+    gtv = np.ascontiguousarray(np.tile(fr.gt, (t8, 1)))
+    n2 = fx.shape[0]
+    ei, ep, rc, ri = pad_v2_sides(fr)
+    # re-anchor escapes only exist in the first tile; harmless for a
+    # bandwidth measurement (identical arithmetic either way)
+    gt_dev = jax.device_put(gtv, dev)
+    sides_dev = tuple(jax.device_put(a, dev) for a in (ei, ep, rc, ri))
+    kernels["v2"] = (
+        lambda r: decode_frames_v2(r, gt_dev, *sides_dev),
+        fx,
+        (5 + gtv.shape[1]) * n2,
+    )
 
     # The relay elides repeat executions aggressively: fresh index scalars,
     # content-fresh chained buffers, and even block_until_ready on a
@@ -583,7 +609,9 @@ def bench_device_roofline(vcf: str, sample: str, threads: int) -> dict:
     CHAIN = 64
 
     result: dict = {}
-    for name, fn in kernels.items():
+    for name, (fn, carry_host, in_bytes) in kernels.items():
+        carry_dev = jax.device_put(carry_host, dev)
+        nk = carry_host.shape[0]
 
         @jax.jit
         def chain_decode(r, fn=fn):
@@ -596,37 +624,42 @@ def bench_device_roofline(vcf: str, sample: str, threads: int) -> dict:
                 # step's content fresh
                 tag_vec = jnp.zeros((c.shape[0],), jnp.uint8)
                 for leaf in jtu.tree_leaves(o):
-                    tag_vec = tag_vec ^ (leaf.astype(jnp.uint8) & 1)
+                    leaf2d = leaf.reshape(leaf.shape[0], -1)
+                    # xor-fold across columns = popcount parity (sum mod 2)
+                    col_par = (
+                        (leaf2d.astype(jnp.uint32) & 1).sum(axis=1) & 1
+                    ).astype(jnp.uint8)
+                    tag_vec = tag_vec ^ col_par
                 return c ^ tag_vec[:, None], ()
 
             out, _ = lax.scan(body, r, None, length=CHAIN)
             return out
 
-        buf = chain_decode(rec_dev)  # compile
-        int(np.asarray(buf[0, 5]))  # materialize (d2h gate)
+        buf = chain_decode(carry_dev)  # compile
+        int(np.asarray(buf[0, 2]))  # materialize (d2h gate)
         ts = []
         for _ in range(max(3, N_ITERS // 3)):
             t0 = time.time()
             buf = chain_decode(buf)  # content differs every chain
-            _ = int(np.asarray(buf[0, 5]))  # forced materialization
+            _ = int(np.asarray(buf[0, 2]))  # forced materialization
             ts.append((time.time() - t0) / CHAIN)
         # one representative output for the byte accounting below
-        out = jax.jit(fn)(rec_dev)
+        out = jax.jit(fn)(carry_dev)
         jax.block_until_ready(out)
         st = stats(ts)
-        vps = n / st["median_s"]
-        # HBM traffic: read 12 B/record; write the decoded columns.  Byte
-        # count from dtype/shape only — np.asarray here would be a d2h
-        # transfer, which wedges when the relay's d2h path is sick.
+        vps = nk / st["median_s"]
+        # HBM traffic: read the input buffers; write the decoded columns.
+        # Byte count from dtype/shape only — np.asarray here would be a
+        # d2h transfer, which wedges when the relay's d2h path is sick.
         leaves = jax.tree_util.tree_leaves(out)
         out_bytes = sum(v.dtype.itemsize * int(np.prod(v.shape)) for v in leaves)
-        bytes_total = 12 * n + out_bytes
+        bytes_total = in_bytes + out_bytes
         gbps = bytes_total / st["median_s"] / 1e9
         frac = gbps * 1e9 / V5E_HBM_BYTES_PER_S
         log(
-            f"device-resident decode12 [{name}]: {fmt_stats(st)} = "
+            f"device-resident decode [{name}]: {fmt_stats(st)} = "
             f"{vps:,.0f} variants/s, {gbps:.1f} GB/s moved "
-            f"({12 * n / 1e6:.0f} MB in + {out_bytes / 1e6:.0f} MB out) "
+            f"({in_bytes / 1e6:.0f} MB in + {out_bytes / 1e6:.0f} MB out) "
             f"= {frac * 100:.1f}% of v5e HBM peak "
             f"({V5E_HBM_BYTES_PER_S / 1e9:.0f} GB/s)"
         )
@@ -976,6 +1009,15 @@ def bench_window_kernels(materialize: bool = False) -> dict:
             "round_wins": wins[kernel],
             **st,
         }
+        if materialize:
+            # roofline accounting (VERDICT r3 #7): >= L genome-read bytes
+            # + L codes-write bytes per window is a hard lower bound on
+            # HBM traffic; only attached to VERIFIED (materialized) runs
+            gbps = wps * 2 * L / 1e9
+            out[kernel]["gb_per_sec"] = round(gbps, 2)
+            out[kernel]["hbm_peak_fraction"] = round(
+                gbps * 1e9 / V5E_HBM_BYTES_PER_S, 4
+            )
         flag = _roofline_flag(wps, L)
         if flag:
             out[kernel]["note"] = flag
@@ -992,6 +1034,143 @@ def bench_window_kernels(materialize: bool = False) -> dict:
     out["materialized"] = materialize
     log(f"window kernel winner (paired round wins): {winner}")
     return out
+
+
+def bench_window_parity() -> dict:
+    """On-chip bit-equality attestation for the window kernels (VERDICT r3
+    #4): the Pallas kernel's parity was previously pinned only in interpret
+    mode on CPU — here the COMPILED kernels all sample with the same PRNG
+    key on the chip, their outputs are fetched, and a joint content hash is
+    recorded.  Requires healthy d2h (the fetch IS the attestation)."""
+    import hashlib
+
+    import jax
+
+    from haplohyped_tpu.core.config import SamplerConfig
+    from haplohyped_tpu.data.sampler import DeviceHaplotypeSampler
+
+    genome, cohort, spans = _window_fixture()
+    B, L = 64, 1000
+    on_cpu = jax.devices()[0].platform == "cpu"
+    kernels = ["baseline", "fast"] if on_cpu else ["baseline", "fast", "pallas"]
+    key = jax.random.PRNGKey(_KEY_NONCE + 777)
+    outs = {}
+    for kernel in kernels:
+        cfg = SamplerConfig(
+            seq_length=L, batch_size=B, seed=0,
+            max_variants_per_window=64, window_kernel=kernel,
+        )
+        s = DeviceHaplotypeSampler(genome, cohort, spans, cfg)
+        b = s.sample_many(4, key=key)
+        outs[kernel] = {
+            f: np.asarray(jax.device_get(getattr(b, f)))
+            for f in ("hap1_codes", "hap2_codes", "n_variants")
+        }
+    ref_name = kernels[0]
+    ref = outs[ref_name]
+    mismatch = [
+        k for k in kernels[1:]
+        if not all(np.array_equal(ref[f], outs[k][f]) for f in ref)
+    ]
+    h = hashlib.sha256()
+    for f in sorted(ref):
+        h.update(ref[f].tobytes())
+    digest = h.hexdigest()[:16]
+    parity = not mismatch
+    log(
+        f"window kernel parity ({'+'.join(kernels)}, compiled, materialized): "
+        f"{'BIT-EQUAL' if parity else f'MISMATCH in {mismatch}'} "
+        f"sha256[:16]={digest}"
+    )
+    return {
+        "parity": parity,
+        "kernels": kernels,
+        "sha256_16": digest,
+        "platform": jax.devices()[0].platform,
+        "mismatch": mismatch,
+    }
+
+
+# ---------------------------------------------------------------------
+# stage: tokenizer vs frame12 (the two L1 paths, head-to-head)
+# ---------------------------------------------------------------------
+
+TOK_VARIANTS = int(os.environ.get("HH_BENCH_TOK_VARIANTS", 500_000))
+
+
+def _ensure_tok_corpora(n_files: int = 3) -> list[str]:
+    """Small distinct corpora for the tokenizer head-to-head: the relay
+    caches executions by content, so each timed iteration must read a
+    DIFFERENT file (framing mutates buffers; the tokenizer path uploads
+    file bytes as-is)."""
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    paths = []
+    for k in range(n_files):
+        p = os.path.join(BENCH_DIR, f"tok_{TOK_VARIANTS}_{k}.bgzf.vcf.gz")
+        if not os.path.exists(p):
+            log(f"generating tokenizer corpus {k}: {TOK_VARIANTS} variants ...")
+            _make_vcf(p, TOK_VARIANTS, ["tok-sample-0000"], seed=100 + k)
+        paths.append(p)
+    return paths
+
+
+def bench_tokenizer(threads: int) -> dict:
+    """Head-to-head of the two L1 ingest paths (VERDICT r3 #8): the
+    all-device tokenizer (raw BGZF text -> device tokenize+decode) vs the
+    production frame12 path (native host framing -> 12 B/record upload ->
+    jit decode).  Both end with their decode columns ON THE HOST (the
+    converter's contract: struct assembly is host-side), so the comparison
+    includes each path's own d2h bill.  Median over distinct-file
+    iterations; the winner justifies ``use_tokenizer``'s default."""
+    import jax
+
+    from haplohyped_tpu.hostio import native
+    from haplohyped_tpu.ops.vcf_decode import decode_frames12
+    from haplohyped_tpu.ops.vcf_stream import tokenize_vcf_streaming
+
+    paths = _ensure_tok_corpora()
+    sample = "tok-sample-0000"
+    dev = jax.devices()[0]
+    iters = max(3, N_ITERS // 2)
+
+    def run_tokenizer(i: int) -> int:
+        out = tokenize_vcf_streaming(
+            paths[i % len(paths)], sample, threads=threads
+        )
+        return int(out["start"].shape[0])
+
+    def run_frame12(i: int) -> int:
+        rec, chroms, _ = native.vcf_frame12(
+            paths[i % len(paths)], sample, None, threads=threads
+        )
+        dec = decode_frames12(jax.device_put(rec, dev))
+        cols = {k: np.asarray(v) for k, v in jax.device_get(dict(dec)).items()}
+        return int(cols["start"].shape[0])
+
+    results = {}
+    for name, fn in (("tokenizer", run_tokenizer), ("frame12", run_frame12)):
+        try:
+            t0 = time.time()
+            n = fn(0)  # compile + warm
+            log(f"L1 {name}: compile+first {time.time() - t0:.1f}s ({n} records)")
+            ts = []
+            for i in range(iters):
+                t0 = time.time()
+                fn(i + 1)
+                ts.append(time.time() - t0)
+            st = stats(ts)
+            results[name] = {"vps": round(n / st["median_s"]), **st}
+            log(
+                f"L1 {name}: {fmt_stats(st)} = "
+                f"{results[name]['vps']:,.0f} variants/s end-to-end (incl. d2h)"
+            )
+        except Exception as exc:
+            log(f"L1 {name} failed: {exc}")
+            results[name] = {"vps": 0, "error": str(exc)[:200]}
+    winner = max(("tokenizer", "frame12"), key=lambda k: results[k]["vps"])
+    results["winner"] = winner
+    log(f"L1 ingest winner at median: {winner}")
+    return results
 
 
 # ---------------------------------------------------------------------
@@ -1094,11 +1273,14 @@ def _result_json() -> dict:
         "windows_per_sec_onehot",
         "windows_materialized",
         "window_kernels",
+        "window_parity",
+        "window_kernel_parity",
         "cohort_donor_variants_per_sec",
         "decode12_xla_vps",
         "decode12_pallas_vps",
         "decode12",
         "device_roofline",
+        "tokenizer",
         "whole_genome",
         "fasta",
         "storage",
@@ -1291,17 +1473,25 @@ def main() -> None:
 
     exec_ok, d2h_ok = device_health()
     # the relay's d2h health FLAPS on minute scales: the worker-start bit
-    # goes stale by the time the stages that need d2h run.  Re-probe once
-    # lazily at stage time when the start probe failed.
-    _d2h = {"ok": d2h_ok, "rechecked": False}
+    # goes stale by the time the stages that need d2h run.  Re-probe at
+    # stage time with a short TTL (VERDICT r3 #1: one bad relay window
+    # must not blank every verified column), bounded so repeated 30s probe
+    # timeouts can't eat the stage budget.
+    _d2h = {"ok": d2h_ok, "t": time.time(), "probes": 0}
 
     def d2h_now() -> bool:
-        if _d2h["ok"] or _d2h["rechecked"]:
+        if _d2h["ok"] and time.time() - _d2h["t"] < 75:
+            return True
+        if _d2h["probes"] >= 5 or time_left() < 45:
             return _d2h["ok"]
-        _d2h["rechecked"] = True
+        _d2h["probes"] += 1
+        was = _d2h["ok"]
         _d2h["ok"] = _d2h_probe_once()
-        if _d2h["ok"]:
+        _d2h["t"] = time.time()
+        if _d2h["ok"] and not was:
             log("d2h recovered at stage time; materialized measurements on")
+        elif was and not _d2h["ok"]:
+            log("d2h went unhealthy at stage time; falling back to upper bounds")
         return _d2h["ok"]
 
     if exec_ok and d2h_ok:
@@ -1324,6 +1514,14 @@ def main() -> None:
         ("windows", lambda: bench_windows(materialize=d2h_now()), 45),
         ("window_kernels", lambda: bench_window_kernels(materialize=d2h_now()), 60),
         (
+            "window_parity",
+            # the fetch IS the attestation; skip outright on a wedged link
+            lambda: bench_window_parity()
+            if d2h_now()
+            else {"parity": False, "note": "skipped: d2h unhealthy"},
+            25,
+        ),
+        (
             "whole_genome",
             lambda: bench_whole_genome(threads, device_decode=exec_ok and d2h_ok),
             60,
@@ -1345,6 +1543,14 @@ def main() -> None:
         ),
         ("fasta", lambda: bench_fasta(threads), 40),
         ("storage", lambda: bench_storage(), 25),
+        (
+            "tokenizer",
+            # both paths end with host-side columns: a wedged d2h hangs
+            lambda: bench_tokenizer(threads)
+            if d2h_now()
+            else {"note": "skipped: d2h unhealthy"},
+            45,
+        ),
     ]
     only = os.environ.get("HH_BENCH_STAGES")  # comma list to run a subset
     for name, fn, min_time in aux_stages:
@@ -1363,10 +1569,54 @@ def main() -> None:
                 _PARTIAL["windows_per_sec"] = round(val["codes"])
                 _PARTIAL["windows_per_sec_onehot"] = round(val["onehot"])
                 _PARTIAL["windows_materialized"] = val.get("materialized", False)
+            elif name == "window_parity":
+                _PARTIAL["window_parity"] = val
+                _PARTIAL["window_kernel_parity"] = bool(val.get("parity"))
             else:
                 _PARTIAL[name] = val
         except Exception as exc:  # aux stages must not kill the headline
             log(f"{name} stage failed: {exc}")
+
+    # --- materialization retry pass (VERDICT r3 #1) ----------------------
+    # If the d2h-dependent stages ran unmaterialized (bad relay window at
+    # stage time) and d2h has since recovered, spend leftover budget
+    # converting the upper bounds into verified measurements.
+    def _needs_retry(name: str) -> bool:
+        if name == "windows":
+            return _PARTIAL.get("windows_materialized") is False
+        if name == "window_kernels":
+            wk = _PARTIAL.get("window_kernels")
+            return isinstance(wk, dict) and not wk.get("materialized")
+        if name == "window_parity":
+            wp = _PARTIAL.get("window_parity")
+            return not (isinstance(wp, dict) and wp.get("parity"))
+        if name == "device_roofline":
+            dr = _PARTIAL.get("device_roofline")
+            return not (isinstance(dr, dict) and "gb_per_sec" in dr)
+        return False
+
+    retryable = {n: fn for n, fn, _ in aux_stages if n in (
+        "windows", "window_kernels", "window_parity", "device_roofline")}
+    for name, fn in retryable.items():
+        if not _needs_retry(name) or time_left() < 60:
+            continue
+        if not d2h_now():
+            break  # still unhealthy; later retries would also hang
+        log(f"retry pass: re-running {name} materialized (d2h recovered)")
+        try:
+            val = fn()
+            if name == "windows":
+                if val.get("materialized"):
+                    _PARTIAL["windows_per_sec"] = round(val["codes"])
+                    _PARTIAL["windows_per_sec_onehot"] = round(val["onehot"])
+                    _PARTIAL["windows_materialized"] = True
+            elif name == "window_parity":
+                _PARTIAL["window_parity"] = val
+                _PARTIAL["window_kernel_parity"] = bool(val.get("parity"))
+            else:
+                _PARTIAL[name] = val
+        except Exception as exc:
+            log(f"retry of {name} failed: {exc}")
 
     _PARTIAL["emitted"] = True
     _emit(_result_json())
