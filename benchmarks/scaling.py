@@ -33,29 +33,77 @@ RESULTS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scaling
 #: multiprocess corpus shape: one VCF per chromosome (the production
 #: layout), so an N-process cluster divides the file passes with NO
 #: duplicated decompression — each process's single-pass donor-block
-#: covers whole chromosomes at N <= n_chroms
-SCALE_CHROMS = [(21, "chr21"), (22, "chr22")]
-SCALE_DONORS = 24
-SCALE_VARIANTS = 40_000
+#: covers whole chromosomes at N <= n_chroms.  Sized for >= 10s per
+#: 1-process configuration (VERDICT r3 #3: 0.4-0.8s timings on a 2-core
+#: rig could not separate signal from scheduler noise); override with
+#: HH_SCALE_VARIANTS for quick runs.
+SCALE_CHROMS = [(19, "chr19"), (20, "chr20"), (21, "chr21"), (22, "chr22")]
+SCALE_DONORS = 48
+SCALE_VARIANTS = int(os.environ.get("HH_SCALE_VARIANTS", 200_000))
+
+
+def _make_scale_vcf(path: str, chrom: str, n_variants: int, n_samples: int,
+                    seed: int) -> None:
+    """Vectorized BGZF VCF writer (tests/synth.make_corpus formats row by
+    row in Python — 60x too slow at this corpus size — and writes
+    single-stream gzip, which would serialize the native reader's
+    block-parallel decompression)."""
+    import numpy as np
+
+    from haplohyped_tpu.hostio.bgzf import bgzf_write
+
+    rng = np.random.default_rng(seed)
+    samples = [f"donor-{i:04d}-aaaa-bbbb-cccc" for i in range(n_samples)]
+    bases = np.array(list("ACGT"))
+    positions = np.cumsum(rng.integers(5, 40, size=n_variants)) + 1000
+    refs = bases[rng.integers(0, 4, size=n_variants)]
+    alts = bases[(np.searchsorted(bases, refs) + rng.integers(1, 4, size=n_variants)) % 4]
+    gts = np.array(["0|0", "0|1", "1|0", "1|1"])[
+        rng.integers(0, 4, size=(n_variants, n_samples))
+    ]
+    parts = [
+        "##fileformat=VCFv4.2\n"
+        f"##contig=<ID={chrom},length=100000000>\n"
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n'
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+        + "\t".join(samples) + "\n"
+    ]
+    CHUNK = 50_000
+    for lo in range(0, n_variants, CHUNK):
+        hi = min(lo + CHUNK, n_variants)
+        rows = [
+            f"{chrom}\t{positions[i]}\t.\t{refs[i]}\t{alts[i]}\t.\tPASS\t.\tGT\t"
+            + "\t".join(gts[i])
+            for i in range(lo, hi)
+        ]
+        parts.append("\n".join(rows) + "\n")
+    bgzf_write(path, "".join(parts).encode(), level=1,
+               threads=min(8, os.cpu_count() or 1))
 
 
 def _make_scale_corpus() -> str:
-    import tempfile
-
+    """Generate (once, cached under bench_data/) the scaling corpus."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    sys.path.insert(0, os.path.join(repo, "tests"))
-    from synth import make_corpus  # noqa: E402
-
-    d = tempfile.mkdtemp(prefix="hh_scale_")
-    print(
-        f"generating multiprocess corpus ({len(SCALE_CHROMS)} chroms x "
-        f"{SCALE_DONORS} donors x {SCALE_VARIANTS} variants) in {d} ..."
+    d = os.path.join(
+        repo, "bench_data",
+        f"scale_{len(SCALE_CHROMS)}x{SCALE_DONORS}x{SCALE_VARIANTS}",
     )
+    os.makedirs(d, exist_ok=True)
+    samples_path = os.path.join(d, "samples.txt")
+    if not os.path.exists(samples_path):
+        with open(samples_path, "w") as f:
+            f.write("\n".join(
+                f"donor-{i:04d}-aaaa-bbbb-cccc" for i in range(SCALE_DONORS)
+            ) + "\n")
     for num, name in SCALE_CHROMS:
-        make_corpus(
-            d, chrom=name, chrom_num=num, length=3_000_000,
-            n_variants=SCALE_VARIANTS, n_samples=SCALE_DONORS, indel_rate=0.0,
-        )
+        vcf = os.path.join(d, f"{name}.filtered.vcf.gz")
+        if not os.path.exists(vcf):
+            t0 = time.time()
+            _make_scale_vcf(vcf, name, SCALE_VARIANTS, SCALE_DONORS, seed=num)
+            print(
+                f"generated {name}: {SCALE_VARIANTS} variants x "
+                f"{SCALE_DONORS} donors in {time.time() - t0:.1f}s"
+            )
     return d
 
 
@@ -97,37 +145,60 @@ def run_multiprocess(nprocs: int, data_dir: str) -> dict:
             assert p.wait(timeout=600) == 0, f"worker rc={p.returncode}"
         return float(np.load(out_npz)["elapsed"])
 
-    # PAIRED rounds: single-shot timings on this shared rig swing 2x with
-    # its mood (a prior artifact recorded a 124% proxy "efficiency"), and
-    # mins taken independently per configuration compare a lucky 1-proc
-    # run against an unlucky N-proc one.  Each round times both configs
-    # back-to-back under the same mood; external contention can only
-    # LOWER a round's efficiency, so the best round is the least-
-    # contaminated estimate of the true parallel capability (median kept
-    # alongside).
-    rounds = [(cluster(1), cluster(nprocs)) for _ in range(4)]
+    # PAIRED rounds: each round times both configs back-to-back under the
+    # same rig mood, cancelling drift between configurations.  The
+    # HEADLINE is the MEDIAN paired efficiency (VERDICT r3 #3: best-of
+    # selection dropped — with >= 10s per configuration the corpus now
+    # carries enough signal that the median is stable), with a bootstrap
+    # 90% CI of the median reported alongside.
+    n_rounds = int(os.environ.get("HH_SCALE_ROUNDS", 5))
+    rounds = [(cluster(1), cluster(nprocs)) for _ in range(n_rounds)]
     effs = sorted(t1 / (nprocs * tn) * 100 for t1, tn in rounds)
-    eff = effs[-1]
     med = effs[len(effs) // 2]
-    t1, tn = max(rounds, key=lambda r: r[0] / r[1])
+    ci_lo, ci_hi = _bootstrap_median_ci(effs)
+    t1_med = sorted(r[0] for r in rounds)[n_rounds // 2]
+    tn_med = sorted(r[1] for r in rounds)[n_rounds // 2]
     print(
-        f"multiprocess conversion (best paired round): 1 proc {t1:.2f}s, "
-        f"{nprocs} procs {tn:.2f}s -> strong-scaling efficiency {eff:.0f}% "
-        f"(median of {len(rounds)} rounds: {med:.0f}%)"
+        f"multiprocess conversion (median of {n_rounds} paired rounds): "
+        f"1 proc {t1_med:.2f}s, {nprocs} procs {tn_med:.2f}s -> "
+        f"strong-scaling efficiency {med:.1f}% "
+        f"(90% CI of the median [{ci_lo:.1f}, {ci_hi:.1f}], "
+        f"rounds {['%.1f' % e for e in effs]})"
     )
     return {
         "n_processes": nprocs,
-        "t_1proc_s": round(t1, 3),
-        f"t_{nprocs}proc_s": round(tn, 3),
-        "strong_scaling_efficiency_pct": round(eff, 1),
+        "t_1proc_s": round(t1_med, 3),
+        f"t_{nprocs}proc_s": round(tn_med, 3),
+        "strong_scaling_efficiency_pct": round(med, 1),
         "median_efficiency_pct": round(med, 1),
+        "median_ci90_pct": [round(ci_lo, 1), round(ci_hi, 1)],
+        "efficiencies_pct": [round(e, 1) for e in effs],
         "rounds": [[round(a, 3), round(b, 3)] for a, b in rounds],
         "methodology": "1 host worker + 1 BGZF thread per process; warmup "
         "conversion excluded; per-chromosome files so no pass is "
-        "duplicated; PAIRED rounds (both configs back-to-back), best "
-        "round reported (contention only lowers efficiency), median "
-        "alongside",
+        "duplicated; PAIRED rounds (both configs back-to-back); headline "
+        "= MEDIAN paired efficiency with bootstrap 90% CI (best-of "
+        "selection dropped, VERDICT r3 #3)",
     }
+
+
+def _bootstrap_median_ci(
+    vals: list[float], n_boot: int = 2000, alpha: float = 0.10, seed: int = 0
+) -> tuple[float, float]:
+    """Percentile-bootstrap CI of the median (small-n honest: with 5
+    paired rounds the CI is wide; that width IS the finding when it
+    straddles a gate)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a = np.asarray(vals, dtype=np.float64)
+    meds = np.median(
+        a[rng.integers(0, len(a), size=(n_boot, len(a)))], axis=1
+    )
+    return (
+        float(np.percentile(meds, 100 * alpha / 2)),
+        float(np.percentile(meds, 100 * (1 - alpha / 2))),
+    )
 
 
 def _proxy_worker(npz_paths, iters, ready_q, start_ev, out_q):
@@ -200,23 +271,27 @@ def run_compute_proxy(nprocs: int, data_dir: str, iters: int = 4) -> dict:
             p.join(timeout=30)
         return max(times)
 
-    # paired rounds, same reasoning as run_multiprocess
-    rounds = [(run(1), run(nprocs)) for _ in range(4)]
+    # paired rounds + median headline, same methodology as run_multiprocess
+    n_rounds = int(os.environ.get("HH_SCALE_ROUNDS", 5))
+    rounds = [(run(1), run(nprocs)) for _ in range(n_rounds)]
     effs = sorted(t1 / (nprocs * tn) * 100 for t1, tn in rounds)
-    eff = effs[-1]
     med = effs[len(effs) // 2]
-    t1, tn = max(rounds, key=lambda r: r[0] / r[1])
+    ci_lo, ci_hi = _bootstrap_median_ci(effs)
+    t1_med = sorted(r[0] for r in rounds)[n_rounds // 2]
+    tn_med = sorted(r[1] for r in rounds)[n_rounds // 2]
     print(
-        f"compute proxy (numpy v2 decode, no comm; best paired round): "
-        f"1 proc {t1:.2f}s, {nprocs} procs {tn:.2f}s -> efficiency "
-        f"{eff:.0f}% (median {med:.0f}%)"
+        f"compute proxy (numpy v2 decode, no comm; median of {n_rounds} "
+        f"paired rounds): 1 proc {t1_med:.2f}s, {nprocs} procs {tn_med:.2f}s "
+        f"-> efficiency {med:.1f}% (90% CI [{ci_lo:.1f}, {ci_hi:.1f}])"
     )
     return {
         "n_processes": nprocs,
-        "t_1proc_s": round(t1, 3),
-        f"t_{nprocs}proc_s": round(tn, 3),
-        "efficiency_pct": round(eff, 1),
+        "t_1proc_s": round(t1_med, 3),
+        f"t_{nprocs}proc_s": round(tn_med, 3),
+        "efficiency_pct": round(med, 1),
         "median_efficiency_pct": round(med, 1),
+        "median_ci90_pct": [round(ci_lo, 1), round(ci_hi, 1)],
+        "efficiencies_pct": [round(e, 1) for e in effs],
         "note": "superlinear (>100%) is a real cache effect: splitting the "
         "chromosome set halves each worker's hot frame buffers into L2; "
         "treat as an upper bound on the rig's parallel capability",
@@ -347,8 +422,8 @@ def main() -> None:
             corpus_dir = _make_scale_corpus()
             artifact["multiprocess"] = run_multiprocess(nprocs, corpus_dir)
             artifact["compute_proxy"] = run_compute_proxy(nprocs, corpus_dir)
-            conv = artifact["multiprocess"]["strong_scaling_efficiency_pct"]
-            proxy = artifact["compute_proxy"]["efficiency_pct"]
+            conv = artifact["multiprocess"]["median_efficiency_pct"]
+            proxy = artifact["compute_proxy"]["median_efficiency_pct"]
             artifact["scaling_verdict"] = {
                 "conversion_eff_pct": conv,
                 "proxy_eff_pct": proxy,
@@ -361,6 +436,20 @@ def main() -> None:
                     else "coordination overhead beyond rig contention"
                 ),
             }
+            # 4-process run, oversubscribed on a 2-core rig: pins
+            # correctness and coordination overhead at N > cores; its
+            # efficiency is core-bound by construction (~50% ceiling when
+            # 4 workers share 2 cores), so it reports but does not gate
+            # (VERDICT r3 #3)
+            if os.environ.get("HH_SCALE_4PROC", "1") == "1":
+                os.environ["HH_SCALE_ROUNDS"] = str(
+                    min(3, int(os.environ.get("HH_SCALE_ROUNDS", 3)))
+                )
+                artifact["multiprocess_4"] = run_multiprocess(4, corpus_dir)
+                cores = os.cpu_count() or 1
+                artifact["multiprocess_4"]["core_bound_ceiling_pct"] = round(
+                    100.0 * cores / 4, 1
+                )
         except Exception as exc:
             print(f"multiprocess mode failed: {exc}")
             artifact["multiprocess"] = {"error": str(exc)}
