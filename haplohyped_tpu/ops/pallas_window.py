@@ -25,7 +25,10 @@ word space over four byte planes, and the final word->byte unpack +
 Outputs are bit-equal to :func:`haplohyped_tpu.ops.haplotype_window.
 encode_haplotype_windows` — pinned by the interpret-mode parity tests in
 ``tests/test_window_kernels.py`` (edge cases: empty rows, overflow,
-duplicate positions, sampler-level draws).
+duplicate positions, sampler-level draws) and, for the COMPILED Mosaic
+kernel on the chip, by the bench's ``window_parity`` attestation stage
+(all kernels sample with one PRNG key, outputs fetched and jointly
+hashed into the committed artifact — ``bench.py bench_window_parity``).
 """
 
 from __future__ import annotations
