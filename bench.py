@@ -888,7 +888,10 @@ def bench_windows(materialize: bool = False) -> dict:
     if jax.devices()[0].platform == "cpu":
         n_batches, iters = 8, 3
     else:
-        n_batches, iters = (512 if materialize else 64), N_ITERS
+        # materialized mode ends every iteration with a d2h fetch (~RPC
+        # latency); 2048 fused batches (131K windows/dispatch) amortize it
+        # to <1% at healthy-link speeds and 4x the slow-mood floor
+        n_batches, iters = (2048 if materialize else 64), N_ITERS
 
     out = {}
     for mode, emit_onehot in (("codes", False), ("onehot", True)):
@@ -897,7 +900,17 @@ def bench_windows(materialize: bool = False) -> dict:
         )
         b = sampler.sample_many(n_batches)  # compile
         jax.block_until_ready(b.hap1)
-        ts = _time_sampler(sampler, n_batches, iters, materialize=materialize)
+        # budget guard (same as window_kernels): in the relay's slow-
+        # dispatch mood one fused call can cost seconds; probe one
+        # iteration and shrink the count so this stage can't starve the
+        # stages after it
+        probe = _time_sampler(
+            sampler, n_batches, 1, key_offset=20_000, materialize=materialize
+        )[0]
+        it = iters if probe * iters <= 30.0 else max(3, int(30.0 / max(probe, 1e-9)))
+        if it < iters:
+            log(f"sampler [{mode}]: slow dispatch ({probe:.1f}s/iter); {it} iters")
+        ts = _time_sampler(sampler, n_batches, it, materialize=materialize)
         st = stats(ts)
         wps = B * n_batches / st["median_s"]
         out[mode] = wps

@@ -45,6 +45,10 @@ class ConvertConfig:
     #: (ops/vcf_tokenize) instead of the compact-frame kernel.  The
     #: tokenizer keeps ALL tab-scanning on the accelerator but ships the
     #: whole VCF text; the default compact-frame path ships 12 bytes/record.
+    #: False is a MEASURED default (bench.py ``tokenizer`` stage: the
+    #: frame12 path wins the end-to-end head-to-head by a wide margin —
+    #: committed numbers in benchmarks/latest_bench.json); the tokenizer
+    #: stays maintained as the zero-native-dependency portability path.
     use_tokenizer: bool = False
     #: single-pass cohort conversion (default): each chromosome's VCF is
     #: decompressed/framed ONCE and every donor's genotype column extracted
