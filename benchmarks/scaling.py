@@ -429,11 +429,17 @@ def main() -> None:
                 "proxy_eff_pct": proxy,
                 "gap_pct": round(proxy - conv, 1),
                 "interpretation": (
-                    "conversion tracks the rig's pure-compute ceiling within "
-                    "5 points: the shortfall is core contention, not "
-                    "coordination overhead"
-                    if proxy - conv <= 5
-                    else "coordination overhead beyond rig contention"
+                    "conversion meets or exceeds the pure-compute ceiling: "
+                    "no measurable coordination overhead (the conversion's "
+                    "IO legs parallelize better than the decode proxy)"
+                    if conv >= proxy
+                    else (
+                        "conversion tracks the rig's pure-compute ceiling "
+                        "within 5 points: the shortfall is core contention, "
+                        "not coordination overhead"
+                        if proxy - conv <= 5
+                        else "coordination overhead beyond rig contention"
+                    )
                 ),
             }
             # 4-process run, oversubscribed on a 2-core rig: pins
