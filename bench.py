@@ -556,8 +556,8 @@ def bench_device_roofline(vcf: str, sample: str, threads: int) -> dict:
     n = rec.shape[0]
 
     #: name -> (fn taking the carried buffer, carried buffer host-side,
-    #:          input bytes per decode)
-    kernels: dict = {"xla": (lambda r: decode_frames12(r), rec, 12 * n)}
+    #:          input bytes per decode, record axis of the carry)
+    kernels: dict = {"xla": (lambda r: decode_frames12(r), rec, 12 * n, 0)}
     if jax.default_backend() == "tpu":
         from haplohyped_tpu.ops.pallas_decode import B12_REC, _pallas_decode12_call
 
@@ -568,8 +568,22 @@ def bench_device_roofline(vcf: str, sample: str, threads: int) -> dict:
         if n_pad != n:
             rec_p = np.vstack([rec, np.zeros((n_pad - n, 12), np.uint8)])
         kernels["pallas"] = (
-            lambda r: _pallas_decode12_call(r, True), rec_p, 12 * n_pad
+            lambda r: _pallas_decode12_call(r, True), rec_p, 12 * n_pad, 0
         )
+
+    # struct-of-arrays layout: (12, N) byte planes — every column access
+    # is a dense full-lane vector instead of a 12-of-128-lane strided
+    # gather (the row layout's ~10.7x tile amplification)
+    from haplohyped_tpu.ops.vcf_decode import decode_frames12_packed, decode_planes12
+
+    kernels["planes"] = (
+        lambda r: decode_planes12(r), np.ascontiguousarray(rec.T), 12 * n, 1
+    )
+    # the PRODUCTION decode (vcf_to_h5._decode12): XLA decode + packed
+    # 3-int32 output (12 B/record on both HBM writes and the d2h leg)
+    kernels["packed"] = (
+        lambda r: decode_frames12_packed(r), rec, 12 * n, 0
+    )
 
     # the v2 kernel (the single-pass converter's production decode): carry
     # the 5-byte fixed matrix; gt + side arrays are device-resident
@@ -591,6 +605,7 @@ def bench_device_roofline(vcf: str, sample: str, threads: int) -> dict:
         lambda r: decode_frames_v2(r, gt_dev, *sides_dev),
         fx,
         (5 + gtv.shape[1]) * n2,
+        0,
     )
 
     # The relay elides repeat executions aggressively: fresh index scalars,
@@ -609,12 +624,12 @@ def bench_device_roofline(vcf: str, sample: str, threads: int) -> dict:
     CHAIN = 64
 
     result: dict = {}
-    for name, (fn, carry_host, in_bytes) in kernels.items():
+    for name, (fn, carry_host, in_bytes, rec_axis) in kernels.items():
         carry_dev = jax.device_put(carry_host, dev)
-        nk = carry_host.shape[0]
+        nk = carry_host.shape[rec_axis]
 
         @jax.jit
-        def chain_decode(r, fn=fn):
+        def chain_decode(r, fn=fn, rec_axis=rec_axis):
             def body(c, _):
                 o = fn(c)
                 # EVERY record's EVERY decoded column feeds the next
@@ -622,15 +637,25 @@ def bench_device_roofline(vcf: str, sample: str, threads: int) -> dict:
                 # unused outputs (a scalar tag "measured" 992 GB/s on a
                 # 2-core CPU), and the full-width fold also keeps each
                 # step's content fresh
-                tag_vec = jnp.zeros((c.shape[0],), jnp.uint8)
+                tag_vec = jnp.zeros((c.shape[rec_axis],), jnp.uint8)
                 for leaf in jtu.tree_leaves(o):
-                    leaf2d = leaf.reshape(leaf.shape[0], -1)
-                    # xor-fold across columns = popcount parity (sum mod 2)
-                    col_par = (
-                        (leaf2d.astype(jnp.uint32) & 1).sum(axis=1) & 1
-                    ).astype(jnp.uint8)
-                    tag_vec = tag_vec ^ col_par
-                return c ^ tag_vec[:, None], ()
+                    # cheapest full-coverage fold: native u8 xor-reduce
+                    # over trailing axes (an earlier u32-upcast+sum fold
+                    # dominated the chain and under-reported every kernel
+                    # ~100x — the fold must stay negligible vs the decode)
+                    l8 = leaf.astype(jnp.uint8) & 1
+                    if l8.ndim > 1:
+                        l8 = lax.reduce(
+                            l8,
+                            np.uint8(0),
+                            lax.bitwise_xor,
+                            tuple(range(1, l8.ndim)),
+                        )
+                    tag_vec = tag_vec ^ l8
+                nxt = (
+                    c ^ tag_vec[:, None] if rec_axis == 0 else c ^ tag_vec[None, :]
+                )
+                return nxt, ()
 
             out, _ = lax.scan(body, r, None, length=CHAIN)
             return out
@@ -674,6 +699,56 @@ def bench_device_roofline(vcf: str, sample: str, threads: int) -> dict:
                 f"implied {gbps:.0f} GB/s exceeds the v5e HBM roofline — "
                 "the relay elided execution; treat as an upper bound"
             )
+    # --- HBM calibration: the SAME chained-scan + d2h-fetch method on a
+    # pure elementwise kernel (scan carries a 128 MB buffer; XLA's while-
+    # loop lowering writes the carry to HBM every step, so each step is an
+    # honest 128 MB read + 128 MB write).  What the rig achieves HERE is
+    # the denominator kernels should be judged against when it sits far
+    # below the paper peak — it separates "kernel leaves bandwidth on the
+    # table" from "the rig caps everything".
+    CAL_CHAIN = 32
+    cal = np.zeros((128 << 20,), np.uint8)
+
+    @jax.jit
+    def chain_cal(r):
+        def body(c, _):
+            return c ^ jnp.uint8(1), ()
+
+        out, _ = lax.scan(body, r, None, length=CAL_CHAIN)
+        return out
+
+    try:
+        cbuf = jax.device_put(cal, dev)
+        cbuf = chain_cal(cbuf)  # compile
+        int(np.asarray(cbuf[0]))
+        cts = []
+        for _ in range(3):
+            t0 = time.time()
+            cbuf = chain_cal(cbuf)
+            _ = int(np.asarray(cbuf[0]))
+            cts.append((time.time() - t0) / CAL_CHAIN)
+        cst = stats(cts)
+        cal_gbps = 2 * cal.nbytes / cst["median_s"] / 1e9
+        cal_frac = cal_gbps * 1e9 / V5E_HBM_BYTES_PER_S
+        log(
+            f"HBM calibration (elementwise xor, same method): "
+            f"{cal_gbps:.1f} GB/s = {cal_frac * 100:.1f}% of v5e peak"
+        )
+        result["hbm_calibration"] = {
+            "gb_per_sec": round(cal_gbps, 2),
+            "hbm_peak_fraction": round(cal_frac, 4),
+            **cst,
+        }
+        # judge each kernel against what the rig demonstrably sustains
+        for name in kernels:
+            if name in result and "gb_per_sec" in result[name]:
+                result[name]["of_calibrated"] = round(
+                    result[name]["gb_per_sec"] / max(cal_gbps, 1e-9), 4
+                )
+        del cbuf
+    except Exception as exc:
+        log(f"HBM calibration failed: {exc}")
+
     # headline numbers: the kernel the converter actually uses on TPU
     best = result.get("pallas", result["xla"])
     result.update(best)
@@ -866,6 +941,7 @@ def _time_sampler(
         else:
             jax.block_until_ready(o.hap1)
         ts.append(time.time() - t0)
+        del o  # one result in flight, not two (one-hot results are ~GB)
     return ts
 
 
@@ -895,24 +971,36 @@ def bench_windows(materialize: bool = False) -> dict:
 
     out = {}
     for mode, emit_onehot in (("codes", False), ("onehot", True)):
-        sampler = DeviceHaplotypeSampler(
-            genome, cohort, spans, cfg, emit_onehot=emit_onehot
-        )
-        b = sampler.sample_many(n_batches)  # compile
-        jax.block_until_ready(b.hap1)
-        # budget guard (same as window_kernels): in the relay's slow-
-        # dispatch mood one fused call can cost seconds; probe one
-        # iteration and shrink the count so this stage can't starve the
-        # stages after it
-        probe = _time_sampler(
-            sampler, n_batches, 1, key_offset=20_000, materialize=materialize
-        )[0]
-        it = iters if probe * iters <= 30.0 else max(3, int(30.0 / max(probe, 1e-9)))
-        if it < iters:
-            log(f"sampler [{mode}]: slow dispatch ({probe:.1f}s/iter); {it} iters")
-        ts = _time_sampler(sampler, n_batches, it, materialize=materialize)
-        st = stats(ts)
-        wps = B * n_batches / st["median_s"]
+        # one-hot output is 5x the bytes: cap its fused batch count so the
+        # in-flight results (current + previous iteration) stay well clear
+        # of HBM — a 2048-batch one-hot run OOMed the relay backend AND
+        # poisoned every later allocation in the process
+        nb = min(n_batches, 512) if emit_onehot else n_batches
+        try:
+            sampler = DeviceHaplotypeSampler(
+                genome, cohort, spans, cfg, emit_onehot=emit_onehot
+            )
+            b = sampler.sample_many(nb)  # compile
+            jax.block_until_ready(b.hap1)
+            del b
+            # budget guard (same as window_kernels): in the relay's slow-
+            # dispatch mood one fused call can cost seconds; probe one
+            # iteration and shrink the count so this stage can't starve
+            # the stages after it
+            probe = _time_sampler(
+                sampler, nb, 1, key_offset=20_000, materialize=materialize
+            )[0]
+            it = iters if probe * iters <= 30.0 else max(3, int(30.0 / max(probe, 1e-9)))
+            if it < iters:
+                log(f"sampler [{mode}]: slow dispatch ({probe:.1f}s/iter); {it} iters")
+            ts = _time_sampler(sampler, nb, it, materialize=materialize)
+            st = stats(ts)
+        except Exception as exc:  # a failed mode must not lose the other
+            log(f"sampler [{mode}] failed: {exc}")
+            out[mode] = 0
+            out[f"{mode}_error"] = str(exc)[:200]
+            continue
+        wps = B * nb / st["median_s"]
         out[mode] = wps
         out[f"{mode}_stats"] = st
         out["materialized"] = materialize
@@ -920,7 +1008,7 @@ def bench_windows(materialize: bool = False) -> dict:
         if flag:
             out[f"{mode}_note"] = flag
         log(
-            f"sampler [{mode}] (kernel={cfg.window_kernel}, fused x{n_batches}, "
+            f"sampler [{mode}] (kernel={cfg.window_kernel}, fused x{nb}, "
             f"fresh keys): {fmt_stats(st)} = {wps:,.0f} windows/s at median"
             + (f"  [{flag}]" if flag else "")
         )

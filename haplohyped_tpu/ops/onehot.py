@@ -19,9 +19,29 @@ from haplohyped_tpu.core.constants import BASE_LUT, NUM_CHANNELS
 
 @jax.jit
 def ascii_to_codes(raw: jax.Array) -> jax.Array:
-    """uint8 ASCII bytes -> int8 base codes (unknown -> N); case-folded."""
-    lut = jnp.asarray(BASE_LUT)
-    return lut[raw.astype(jnp.uint8)]
+    """uint8 ASCII bytes -> int8 base codes (unknown -> N); case-folded.
+
+    GATHER-FREE on purpose: a 256-entry LUT gather looks cheap but TPU
+    lowers dynamic gathers ~100x below VPU select throughput (measured on
+    the device-resident roofline: two LUT gathers pinned the whole decode
+    at ~0.25s/16M records regardless of layout).  Four compares + selects
+    against the case-folded byte produce bit-identical codes to
+    ``BASE_LUT`` for the default A/C/G/T/N spec (everything else,
+    including bytes whose bit-5 fold collides with a base letter — none
+    do — maps to N, same as the LUT's default fill)."""
+    b = raw.astype(jnp.uint8)
+    u = b & 0xDF  # ASCII uppercase fold (clears bit 5 for letters)
+    n = jnp.int8(BASE_LUT[ord("N")])
+    return jnp.where(
+        u == ord("A"), jnp.int8(0),
+        jnp.where(
+            u == ord("C"), jnp.int8(1),
+            jnp.where(
+                u == ord("G"), jnp.int8(2),
+                jnp.where(u == ord("T"), jnp.int8(3), n),
+            ),
+        ),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("num_channels", "dtype"))

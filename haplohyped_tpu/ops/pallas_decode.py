@@ -262,7 +262,7 @@ def decode_frames12_pallas(
     :func:`haplohyped_tpu.ops.vcf_decode.decode_frames12_numpy`.
     ``interpret=True`` runs in the Pallas interpreter (CPU CI).
     """
-    from haplohyped_tpu.core.constants import BASE_LUT
+    from haplohyped_tpu.ops.vcf_decode import unpack12_columns
 
     n = frames.shape[0]
     n_pad = max(-(-n // B12_REC) * B12_REC, B12_REC)
@@ -270,25 +270,7 @@ def decode_frames12_pallas(
     fp[:n] = frames
     out = _pallas_decode12_call(jnp.asarray(fp), with_sample, interpret)
     start, meta, ref_len = (np.asarray(x)[:n] for x in jax.device_get(out))
-    ref_char = (meta & 0xFF).astype(np.uint8)
-    alt_char = ((meta >> 8) & 0xFF).astype(np.uint8)
-    chrom_id = ((meta >> 16) & 0xFF).astype(np.uint8)
-    flags = (meta >> 24) & 0xFF
-    return {
-        "start": start.astype(np.uint32),
-        "stop": (start + ref_len).astype(np.uint32),
-        "ref_char": ref_char,
-        "alt_char": alt_char,
-        "ref_code": BASE_LUT[ref_char],
-        "alt_code": BASE_LUT[alt_char],
-        "phase1": ((flags >> 4) & 1).astype(np.int8),
-        "phase2": ((flags >> 5) & 1).astype(np.int8),
-        "phased": (flags & 8) != 0,
-        "missing": (flags & 4) != 0,
-        "snp_mask": (flags & 1) != 0,
-        "valid": (flags & 2) != 0,
-        "chrom_id": chrom_id,
-    }
+    return unpack12_columns(start, meta, ref_len)
 
 
 def decode_frames_pallas(

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from haplohyped_tpu.core.constants import BASE_LUT
+from haplohyped_tpu.ops.onehot import ascii_to_codes
 from haplohyped_tpu.hostio.frame_format import (
     ALT_LEN_OFF,
     ALT_OFF,
@@ -105,9 +106,9 @@ def decode_frames(frames: jax.Array, with_sample: bool = True) -> DecodedVariant
     stop = start + ref_len  # End() = pos + rlen
     ref_char = frames[:, REF_OFF]
     alt_char = frames[:, ALT_OFF]
-    lut = jnp.asarray(BASE_LUT)
-    ref_code = lut[ref_char]
-    alt_code = lut[alt_char]
+    # gather-free base codes (TPU lowers LUT gathers ~100x below selects)
+    ref_code = ascii_to_codes(ref_char)
+    alt_code = ascii_to_codes(alt_char)
 
     is_acgt = (
         (alt_char == ord("A"))
@@ -189,7 +190,6 @@ def decode_frames12(frames: jax.Array, with_sample: bool = True) -> dict[str, ja
     stop = start + ref_len
     ref_char = frames[:, R12_REF_OFF]
     alt_char = frames[:, R12_ALT_OFF]
-    lut = jnp.asarray(BASE_LUT)
     is_acgt = (
         (alt_char == ord("A"))
         | (alt_char == ord("C"))
@@ -227,8 +227,8 @@ def decode_frames12(frames: jax.Array, with_sample: bool = True) -> dict[str, ja
         "stop": stop,
         "ref_char": ref_char,
         "alt_char": alt_char,
-        "ref_code": lut[ref_char],
-        "alt_code": lut[alt_char],
+        "ref_code": ascii_to_codes(ref_char),
+        "alt_code": ascii_to_codes(alt_char),
         "phase1": phase1,
         "phase2": phase2,
         "phased": phased,
@@ -236,6 +236,149 @@ def decode_frames12(frames: jax.Array, with_sample: bool = True) -> dict[str, ja
         "snp_mask": snp_mask,
         "valid": valid,
         "chrom_id": frames[:, R12_CHROM_ID_OFF],
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("with_sample",))
+def decode_frames12_packed(
+    frames: jax.Array, with_sample: bool = True
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """:func:`decode_frames12` with the output PACKED into the Pallas
+    kernel's 3-int32-per-record wire format (``start``, ``meta``,
+    ``ref_len``; ``meta = ref_char | alt_char<<8 | chrom_id<<16 |
+    flags<<24``) — 12 B/record on the d2h leg instead of the dict's ~19.
+
+    This became the TPU production decode when the gather-free base-code
+    fix landed: the XLA lowering decodes 16M records in ~11 ms
+    device-resident (45 GB/s, vs the Mosaic kernel's 152 ms — see the
+    committed ``device_roofline``), and packing here is free elementwise
+    fusion, so it beats the Pallas kernel on BOTH legs.  Unpack with
+    :func:`unpack12_columns`.
+    """
+    d = decode_frames12(frames, with_sample)
+    flags = (
+        d["snp_mask"].astype(jnp.int32)
+        | (d["valid"].astype(jnp.int32) << 1)
+        | (d["missing"].astype(jnp.int32) << 2)
+        | (d["phased"].astype(jnp.int32) << 3)
+        | ((d["phase1"].astype(jnp.int32) & 1) << 4)
+        | ((d["phase2"].astype(jnp.int32) & 1) << 5)
+    )
+    meta = (
+        d["ref_char"].astype(jnp.int32)
+        | (d["alt_char"].astype(jnp.int32) << 8)
+        | (d["chrom_id"].astype(jnp.int32) << 16)
+        | (flags << 24)
+    )
+    ref_len = (d["stop"] - d["start"]).astype(jnp.int32)
+    return d["start"].astype(jnp.int32), meta, ref_len
+
+
+def unpack12_columns(
+    start: np.ndarray, meta: np.ndarray, ref_len: np.ndarray
+) -> dict[str, np.ndarray]:
+    """Host-side unpack of the packed 3-int32 decode wire format (shared
+    by the Pallas kernel and :func:`decode_frames12_packed`)."""
+    ref_char = (meta & 0xFF).astype(np.uint8)
+    alt_char = ((meta >> 8) & 0xFF).astype(np.uint8)
+    chrom_id = ((meta >> 16) & 0xFF).astype(np.uint8)
+    flags = (meta >> 24) & 0xFF
+    return {
+        "start": start.astype(np.uint32),
+        "stop": (start + ref_len).astype(np.uint32),
+        "ref_char": ref_char,
+        "alt_char": alt_char,
+        "ref_code": BASE_LUT[ref_char],
+        "alt_code": BASE_LUT[alt_char],
+        "phase1": ((flags >> 4) & 1).astype(np.int8),
+        "phase2": ((flags >> 5) & 1).astype(np.int8),
+        "phased": (flags & 8) != 0,
+        "missing": (flags & 4) != 0,
+        "snp_mask": (flags & 1) != 0,
+        "valid": (flags & 2) != 0,
+        "chrom_id": chrom_id,
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("with_sample",))
+def decode_planes12(
+    planes: jax.Array, with_sample: bool = True
+) -> dict[str, jax.Array]:
+    """:func:`decode_frames12` on the TRANSPOSED wire layout: ``(12, N)``
+    uint8 byte PLANES (plane ``k`` = byte ``k`` of every record) instead
+    of ``(N, 12)`` rows.
+
+    Same semantics, radically better tiling: an ``(N, 12)`` uint8 matrix
+    parks 12 useful lanes in every 128-lane VREG tile (~10.7x read
+    amplification, and every column extract is a strided gather), while a
+    plane is a dense ``(N,)`` vector using all 128 lanes.  Measured on the
+    device-resident roofline this is the difference between ~2 GB/s and
+    memcpy-class bandwidth for the same arithmetic.  The host-side
+    transpose of the framer's row-major output costs one sequential pass
+    (``np.ascontiguousarray(rec.T)``) — negligible next to BGZF decode.
+    """
+    planes = planes.astype(jnp.uint8)
+
+    # --- POS: 10 zero-padded BCD nibbles -> uint32 ----------------------
+    pos = jnp.zeros(planes.shape[1], jnp.uint32)
+    w = _POW10[:R12_POS_NIBBLES][::-1]  # 10^9 ... 10^0 (static python)
+    for b in range(R12_POS_BYTES):
+        byte = planes[R12_POS_OFF + b]
+        pos = pos + (byte >> 4).astype(jnp.uint32) * jnp.uint32(w[2 * b])
+        pos = pos + (byte & 0xF).astype(jnp.uint32) * jnp.uint32(w[2 * b + 1])
+    start = pos - 1
+
+    ref_len = planes[R12_REF_LEN_OFF].astype(jnp.uint32)
+    alt_len = planes[R12_ALT_LEN_OFF].astype(jnp.uint32)
+    stop = start + ref_len
+    ref_char = planes[R12_REF_OFF]
+    alt_char = planes[R12_ALT_OFF]
+    is_acgt = (
+        (alt_char == ord("A"))
+        | (alt_char == ord("C"))
+        | (alt_char == ord("G"))
+        | (alt_char == ord("T"))
+    )
+    snp_mask = (ref_len == 1) & (alt_len == 1) & is_acgt
+
+    flags = planes[R12_FLAGS_OFF]
+    well_formed = (flags & FLAG12_WELL_FORMED) != 0
+
+    if with_sample:
+        gt = planes[R12_GT_OFF]
+        g0n = gt >> 4
+        g2n = gt & 0xF
+        has_gt = (flags & FLAG12_HAS_GT) != 0
+        sep_ok = (flags & (FLAG12_SEP_PIPE | FLAG12_SEP_SLASH)) != 0
+        diploid = has_gt & ((flags & FLAG12_DIPLOID_LEN) != 0) & sep_ok
+        miss_n = jnp.uint8(GT_NIBBLE_MISSING)
+        missing = diploid & ((g0n == miss_n) | (g2n == miss_n))
+        phase1 = jnp.where(missing, jnp.int8(1), (g0n != 0).astype(jnp.int8))
+        phase2 = jnp.where(missing, jnp.int8(0), (g2n != 0).astype(jnp.int8))
+        phased = diploid & ((flags & FLAG12_SEP_PIPE) != 0)
+        valid = well_formed & diploid
+    else:
+        n = planes.shape[1]
+        phase1 = jnp.zeros((n,), jnp.int8)
+        phase2 = jnp.zeros((n,), jnp.int8)
+        phased = jnp.zeros((n,), bool)
+        missing = jnp.zeros((n,), bool)
+        valid = well_formed
+
+    return {
+        "start": start,
+        "stop": stop,
+        "ref_char": ref_char,
+        "alt_char": alt_char,
+        "ref_code": ascii_to_codes(ref_char),
+        "alt_code": ascii_to_codes(alt_char),
+        "phase1": phase1,
+        "phase2": phase2,
+        "phased": phased,
+        "missing": missing,
+        "snp_mask": snp_mask,
+        "valid": valid,
+        "chrom_id": planes[R12_CHROM_ID_OFF],
     }
 
 
@@ -311,7 +454,6 @@ def decode_frames_v2(
     # --- REF/ALT + SNP predicate ----------------------------------------
     ref_char = fixed[:, V2_REF_OFF]
     alt_char = fixed[:, V2_ALT_OFF]
-    lut = jnp.asarray(BASE_LUT)
     is_acgt = (
         (alt_char == ord("A"))
         | (alt_char == ord("C"))
@@ -347,8 +489,8 @@ def decode_frames_v2(
         "stop": stop,
         "ref_char": ref_char,
         "alt_char": alt_char,
-        "ref_code": lut[ref_char],
-        "alt_code": lut[alt_char],
+        "ref_code": ascii_to_codes(ref_char),
+        "alt_code": ascii_to_codes(alt_char),
         "ref1": ref1,
         "alt1": alt1,
         "snp_mask": snp_mask,

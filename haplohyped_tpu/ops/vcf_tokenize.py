@@ -22,7 +22,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from haplohyped_tpu.core.constants import BASE_LUT
 
 _POW10 = np.array([10**i if i < 10 else 0 for i in range(16)], dtype=np.uint32)
 
@@ -113,9 +112,11 @@ def tokenize_lines(
     ref_char = char_at(fstart(m3))
     alt_char = char_at(fstart(m4))
     stop = start + ref_len
-    lut = jnp.asarray(BASE_LUT)
-    ref_code = lut[ref_char]
-    alt_code = lut[alt_char]
+    # gather-free base codes (TPU lowers LUT gathers ~100x below selects)
+    from haplohyped_tpu.ops.onehot import ascii_to_codes
+
+    ref_code = ascii_to_codes(ref_char)
+    alt_code = ascii_to_codes(alt_char)
     is_acgt = (
         (alt_char == ord("A"))
         | (alt_char == ord("C"))

@@ -326,27 +326,28 @@ def _decode_v2(frame, device: bool) -> dict[str, np.ndarray]:
 def _decode12(frames12: np.ndarray) -> dict[str, np.ndarray]:
     """Device decode of compact frames -> host columns.
 
-    On TPU this is the Pallas 12-byte kernel, chosen on the STABLE
-    measurement: the device-resident roofline (bench.py
-    ``device_roofline``, no transfer in the timed region) has the two
-    kernels within ~5% of each other (~0.14ms for 2M records), while the
-    Pallas kernel's packed output is 12 B/record vs the XLA lowering's
-    32 — 2.7x fewer bytes on the d2h leg this function must then ship.
-    (The upload+decode shoot-out stage is NOT the basis: its winner flips
-    between runs with relay mood — it measures the link, see VERDICT r2
-    weak #3 and ``docs/ARCHITECTURE.md``.)  Non-TPU backends keep the XLA
-    kernel (Pallas would be interpret-mode there, which is a correctness
-    tool, not a fast path)."""
+    The production kernel is the XLA decode with PACKED output
+    (``decode_frames12_packed``): since the gather-free base-code fix it
+    decodes 16M records in ~11 ms device-resident (45 GB/s — committed
+    ``device_roofline``, chained-scan + d2h-fetch method) vs the Mosaic
+    kernel's ~152 ms, AND ships the same 12 B/record on the d2h leg (the
+    packed 3-int32 wire format both kernels share) — so it wins on both
+    legs on every link speed.  The Pallas kernel stays selectable and
+    bench-tracked (``ops/pallas_decode.decode_frames12_pallas``); if a
+    future verified roofline puts it back ahead, this default follows the
+    artifact.  (The upload+decode shoot-out stage is NOT the basis: its
+    winner flips between runs with relay mood — it measures the link,
+    see ``docs/ARCHITECTURE.md``.)"""
     import jax
 
-    if jax.default_backend() == "tpu":
-        from haplohyped_tpu.ops.pallas_decode import decode_frames12_pallas
+    from haplohyped_tpu.ops.vcf_decode import (
+        decode_frames12_packed,
+        unpack12_columns,
+    )
 
-        return decode_frames12_pallas(frames12)
-    from haplohyped_tpu.ops.vcf_decode import decode_frames12
-
-    dec = decode_frames12(jax.numpy.asarray(frames12))
-    return {k: np.asarray(v) for k, v in jax.device_get(dec).items()}
+    out = decode_frames12_packed(jax.numpy.asarray(frames12))
+    start, meta, ref_len = (np.asarray(x) for x in jax.device_get(out))
+    return unpack12_columns(start, meta, ref_len)
 
 
 def _decode12_host(frames12: np.ndarray) -> dict[str, np.ndarray]:

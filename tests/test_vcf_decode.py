@@ -182,3 +182,90 @@ class TestFraming:
         f = frames_to_fields(fr.records)
         assert bytes(f["chrom"][0][: f["chrom_len"][0]]) == b"chr22"
         assert f["flags"].min() == 3  # all well-formed with GT
+
+
+class TestPlanes12:
+    """Plane (struct-of-arrays) layout decode: bit-equal to the row-major
+    decode_frames12 on the transposed wire buffer (TPU tiling: a (12, N)
+    plane uses all 128 lanes; (N, 12) rows waste ~90% of each tile)."""
+
+    def test_planes_match_frames12(self, test_data_dir):
+        import numpy as np
+
+        from haplohyped_tpu.hostio import native
+        from haplohyped_tpu.ops.vcf_decode import decode_frames12, decode_planes12
+
+        vcf = str(test_data_dir / "chr22.filtered.vcf.gz")
+        with open(test_data_dir / "ipscs_samples_test.txt") as f:
+            sample = next(line.strip() for line in f if line.strip())
+        rec, chroms, _ = native.vcf_frame12(vcf, sample, None, threads=2)
+        a = decode_frames12(rec)
+        b = decode_planes12(np.ascontiguousarray(rec.T))
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(
+                np.asarray(a[k]), np.asarray(b[k]), err_msg=k
+            )
+
+    def test_planes_no_sample(self, test_data_dir):
+        import numpy as np
+
+        from haplohyped_tpu.hostio import native
+        from haplohyped_tpu.ops.vcf_decode import decode_frames12, decode_planes12
+
+        vcf = str(test_data_dir / "chr22.filtered.vcf.gz")
+        rec, chroms, _ = native.vcf_frame12(vcf, None, None, threads=2)
+        a = decode_frames12(rec, with_sample=False)
+        b = decode_planes12(np.ascontiguousarray(rec.T), with_sample=False)
+        for k in a:
+            np.testing.assert_array_equal(
+                np.asarray(a[k]), np.asarray(b[k]), err_msg=k
+            )
+
+
+class TestPacked12:
+    """The production TPU decode: XLA decode packed into the Pallas
+    kernel's 3-int32 wire format (12 B/record d2h).  Unpacked columns
+    must match the dict decode exactly."""
+
+    def test_packed_roundtrip_matches_dict(self, test_data_dir):
+        import numpy as np
+
+        from haplohyped_tpu.hostio import native
+        from haplohyped_tpu.ops.vcf_decode import (
+            decode_frames12,
+            decode_frames12_packed,
+            unpack12_columns,
+        )
+
+        vcf = str(test_data_dir / "chr22.filtered.vcf.gz")
+        with open(test_data_dir / "ipscs_samples_test.txt") as f:
+            sample = next(line.strip() for line in f if line.strip())
+        rec, chroms, _ = native.vcf_frame12(vcf, sample, None, threads=2)
+        ref = {k: np.asarray(v) for k, v in decode_frames12(rec).items()}
+        start, meta, ref_len = (np.asarray(x) for x in decode_frames12_packed(rec))
+        got = unpack12_columns(start, meta, ref_len)
+        for k in ref:
+            np.testing.assert_array_equal(ref[k], got[k], err_msg=k)
+
+    def test_packed_matches_pallas_interpret(self, test_data_dir):
+        import numpy as np
+
+        from haplohyped_tpu.hostio import native
+        from haplohyped_tpu.ops.pallas_decode import decode_frames12_pallas
+        from haplohyped_tpu.ops.vcf_decode import (
+            decode_frames12_packed,
+            unpack12_columns,
+        )
+
+        vcf = str(test_data_dir / "chr22.filtered.vcf.gz")
+        with open(test_data_dir / "ipscs_samples_test.txt") as f:
+            sample = next(line.strip() for line in f if line.strip())
+        rec, chroms, _ = native.vcf_frame12(vcf, sample, None, threads=2)
+        a = decode_frames12_pallas(rec, interpret=True)
+        start, meta, ref_len = (np.asarray(x) for x in decode_frames12_packed(rec))
+        b = unpack12_columns(start, meta, ref_len)
+        for k in a:
+            np.testing.assert_array_equal(
+                np.asarray(a[k]), np.asarray(b[k]), err_msg=k
+            )

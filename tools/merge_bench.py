@@ -95,14 +95,55 @@ def stage_present(nums: dict, stage: str) -> bool:
     return any(k in nums for k in STAGES[stage])
 
 
+def _shootout_valid(d: dict | None) -> bool:
+    """A kernel shoot-out where every contender errored (vps 0) must not
+    replace real numbers."""
+    if not isinstance(d, dict):
+        return False
+    return any(
+        isinstance(v, dict) and v.get("vps", v.get("windows_per_sec", 0)) > 0
+        for v in d.values()
+    )
+
+
+def stage_degenerate(nums: dict, stage: str) -> bool:
+    """True when the stage carries no real measurement at all (every
+    contender errored to 0, or only a skip note) — such a stage never
+    merges, even over an empty slot."""
+    if stage in ("decode12", "tokenizer"):
+        return not _shootout_valid(nums.get(stage))
+    if stage == "window_kernels":
+        return not _shootout_valid(nums.get("window_kernels"))
+    if stage == "windows":
+        return not nums.get("windows_per_sec")
+    if stage == "cohort":
+        return not nums.get("cohort_donor_variants_per_sec")
+    if stage == "window_parity":
+        wp = nums.get("window_parity")
+        return not (isinstance(wp, dict) and wp.get("kernels"))
+    if stage == "device_roofline":
+        dr = nums.get("device_roofline")
+        return not (isinstance(dr, dict) and "gb_per_sec" in dr)
+    if stage == "headline":
+        return not nums.get("value")
+    return False
+
+
 def stage_verified(nums: dict, stage: str) -> bool:
     """Is this stage's measurement d2h-verified (relay cannot have faked
-    it)?  Host-side stages are always verified."""
+    it) AND non-degenerate?  Host-side stages count as verified when they
+    carry real numbers."""
     if stage == "windows":
-        return bool(nums.get("windows_materialized"))
+        return bool(nums.get("windows_materialized")) and bool(
+            nums.get("windows_per_sec")
+        )
     if stage == "window_kernels":
         wk = nums.get("window_kernels")
-        return isinstance(wk, dict) and bool(wk.get("materialized"))
+        return (
+            isinstance(wk, dict)
+            and bool(wk.get("materialized"))
+            and _shootout_valid(wk)
+        )
     if stage == "window_parity":
         wp = nums.get("window_parity")
         return isinstance(wp, dict) and bool(wp.get("parity"))
@@ -114,8 +155,13 @@ def stage_verified(nums: dict, stage: str) -> bool:
             and "gb_per_sec" in dr
         )
     if stage == "tokenizer":
-        tok = nums.get("tokenizer")
-        return isinstance(tok, dict) and "winner" in tok
+        return _shootout_valid(nums.get("tokenizer"))
+    if stage == "decode12":
+        return _shootout_valid(nums.get("decode12"))
+    if stage == "cohort":
+        return bool(nums.get("cohort_donor_variants_per_sec"))
+    if stage == "headline":
+        return bool(nums.get("value"))
     return stage_present(nums, stage)
 
 
@@ -129,6 +175,8 @@ def merge(
             continue
         if stage == "headline" and not take_headline:
             continue
+        if stage_degenerate(new, stage):
+            continue  # garbage (all-zero / skipped) never merges
         new_ok = stage_verified(new, stage)
         old_ok = stage_verified(base, stage) and stage_present(base, stage)
         # replace unless it would trade verified for unverified
@@ -159,6 +207,12 @@ def main() -> None:
     )
     ap.add_argument("--date", help="override provenance date (YYYY-MM-DD)")
     ap.add_argument("--out", default=CANONICAL)
+    ap.add_argument(
+        "--stages",
+        help="comma list: merge only these stages (e.g. when part of a run "
+        "went through a degraded link and should not replace better-"
+        "condition committed numbers)",
+    )
     args = ap.parse_args()
 
     new = load_bench(args.bench_json)
@@ -170,6 +224,15 @@ def main() -> None:
     date = args.date or datetime.date.today().isoformat()
     # a driver artifact is authoritative for the headline by convention
     take_headline = args.headline or source.startswith("BENCH_r")
+    if args.stages:
+        keep = set(args.stages.split(","))
+        unknown = keep - set(STAGES)
+        if unknown:
+            raise SystemExit(f"unknown stages: {sorted(unknown)}")
+        for stage in STAGES:
+            if stage not in keep:
+                for k in STAGES[stage]:
+                    new.pop(k, None)
     merged = merge(base, new, source, take_headline, date)
     with open(args.out, "w") as f:
         json.dump(merged, f, indent=2, sort_keys=True)

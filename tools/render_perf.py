@@ -234,11 +234,16 @@ def render_arch_block(nums: dict) -> str:
 #: kernels below this roofline fraction need a one-line explanation
 #: (VERDICT r3 #7)
 ROOFLINE_EXPLAIN = {
-    "decode12/xla": "output-bound: 3 int32 columns per 12 input bytes; "
-    "XLA splits the fused decode into several passes over the columns",
-    "decode12/pallas": "single-pass Pallas kernel; the residual gap to "
-    "peak is the uint8->int32 widening ratio (reads are 12 B, writes 12 B "
-    "across 128-lane tiles padded from 12-wide blocks)",
+    "decode12/xla": "13 small output columns (byte-wide writes pad to "
+    "32-bit lanes); judge against the calibration row, not paper peak",
+    "decode12/packed": "the production kernel (vcf_to_h5._decode12): "
+    "dict decode + free elementwise packing to 3 int32/record",
+    "decode12/planes": "struct-of-arrays wire layout; ties the row "
+    "layout now that the LUT gathers are gone",
+    "decode12/pallas": "the Mosaic kernel trails the XLA lowering ~14x "
+    "since the gather-free base-code fix (per-grid-step overhead at "
+    "B12_REC=1024); kept selectable and bench-tracked, no longer the "
+    "default",
     "decode12/v2": "gt matrix dominates bytes at high sample counts; the "
     "delta-chain cumsum serializes into log-depth scan passes",
     "windows/baseline": "gather-bound: one dynamic_slice per window row, "
@@ -257,7 +262,7 @@ def render_roofline_table(nums: dict) -> list[str]:
     rows = []
     dr = nums.get("device_roofline") or {}
     if dr.get("method") == "chained-scan+d2h-fetch":
-        for k in ("xla", "pallas", "v2"):
+        for k in ("xla", "packed", "planes", "pallas", "v2"):
             v = dr.get(k)
             if isinstance(v, dict) and "gb_per_sec" in v and "note" not in v:
                 rows.append((f"decode12/{k}" if k != "v2" else "decode/v2",
@@ -270,30 +275,46 @@ def render_roofline_table(nums: dict) -> list[str]:
                 rows.append((f"window/{k}", f"windows/{k}", v))
     if not rows:
         return []
+    cal = (nums.get("device_roofline") or {}).get("hbm_calibration")
     out = [
         "| kernel | GB/s | % of v5e HBM peak (819 GB/s) | note |",
         "|---|---|---|---|",
     ]
+    if cal:
+        out.append(
+            f"| *HBM calibration (elementwise, same method)* | "
+            f"{cal['gb_per_sec']} | {cal['hbm_peak_fraction'] * 100:.1f}% | "
+            f"*what the rig demonstrably sustains — the denominator below* |"
+        )
     # when EVERY kernel sits far below peak, the bottleneck is the rig
     # (the tunneled relay inflates execution wholesale in its slow moods
     # — measured 420x on identical executables), not the kernels: the
     # RANKING is the decision-relevant signal, per-kernel notes would
-    # misattribute the gap
+    # misattribute the gap.  The calibration row quantifies this.
     rig_bound = max(v["hbm_peak_fraction"] for _, _, v in rows) < 0.05
     for label, key, v in rows:
         frac = v["hbm_peak_fraction"]
         if rig_bound:
-            note = ""
+            note = (
+                f"{v['of_calibrated'] * 100:.0f}% of calibrated"
+                if v.get("of_calibrated")
+                else ""
+            )
         else:
             note = ROOFLINE_EXPLAIN.get(key, "") if frac < 0.4 else ""
         out.append(
             f"| {label} | {v['gb_per_sec']} | {frac * 100:.1f}% | {note} |"
         )
     if rig_bound:
+        cal_txt = (
+            f" (calibration: a pure xor sustains only "
+            f"{cal['gb_per_sec']} GB/s under the same method)" if cal else ""
+        )
         out.append(
-            "| | | | *all kernels relay-bound this run (execution "
-            "inflated wholesale by the tunneled link's slow mood); "
-            "fractions are honest lower bounds — the ranking is the "
+            "| | | | *all kernels rig-bound this run — the tunneled "
+            "relay caps achievable bandwidth wholesale"
+            + cal_txt
+            + "; fractions are honest lower bounds, the ranking is the "
             "portable signal* |"
         )
     return out
