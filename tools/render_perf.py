@@ -272,7 +272,10 @@ def render_roofline_table(nums: dict) -> list[str]:
         for k in ("baseline", "fast", "pallas"):
             v = wk.get(k)
             if isinstance(v, dict) and "gb_per_sec" in v and "note" not in v:
-                rows.append((f"window/{k}", f"windows/{k}", v))
+                # the shoot-out times whole dispatches incl. the per-
+                # iteration d2h attestation fetch — a lower bound on the
+                # kernel, unlike the decode rows' device-resident chain
+                rows.append((f"window/{k} (dispatch-inclusive)", f"windows/{k}", v))
     if not rows:
         return []
     cal = (nums.get("device_roofline") or {}).get("hbm_calibration")
