@@ -167,10 +167,12 @@ def render_arch_block(nums: dict) -> str:
             f"this run's winner: **{d12.get('winner', '?')}**.  This stage "
             f"measures the LINK as much as the kernels (its winner flips "
             f"with relay mood across otherwise-identical runs); the "
-            f"converter's TPU default (Pallas) is set by kernel-only "
-            f"device-resident comparisons (the bench's device_roofline "
-            f"stage) plus its 2.7× smaller decode output (12 B/record "
-            f"packed vs 32), which is what the d2h leg actually ships."
+            f"converter's production decode "
+            f"(`decode_frames12_packed`: XLA decode + elementwise packing "
+            f"into the 3-int32/record wire format) is set by the "
+            f"device-resident roofline below — fastest kernel AND the "
+            f"smallest d2h payload (12 B/record), so it wins on both legs "
+            f"at any link speed."
         )
     wk = nums.get("window_kernels")
     if wk:
