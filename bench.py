@@ -1137,6 +1137,68 @@ def bench_window_kernels(materialize: bool = False) -> dict:
     return out
 
 
+def bench_windows_chain() -> dict:
+    """Device-resident windows/sec via the sampler's chained measurement
+    kernel (``DeviceHaplotypeSampler.sample_chain``): n_chain dependent
+    fused dispatches in ONE executable ending in a scalar digest fetch —
+    the same anti-eliding design as the decode roofline, so dispatch and
+    fetch costs amortize over the whole chain instead of bounding every
+    iteration (the plain ``windows`` stage is dispatch-inclusive and
+    underreports the kernel ~100x through a slow relay)."""
+    import jax
+
+    from haplohyped_tpu.core.config import SamplerConfig
+    from haplohyped_tpu.data.sampler import DeviceHaplotypeSampler
+
+    genome, cohort, spans = _window_fixture()
+    B, L = 64, 1000
+    on_cpu = jax.devices()[0].platform == "cpu"
+    n_chain, n_batches = (2, 4) if on_cpu else (16, 256)
+    kernels = ["fast"] if on_cpu else ["baseline", "fast", "pallas"]
+    out: dict = {"n_chain": n_chain, "n_batches": n_batches,
+                 "method": "chained-scan+d2h-fetch"}
+    for kernel in kernels:
+        cfg = SamplerConfig(
+            seq_length=L, batch_size=B, seed=0,
+            max_variants_per_window=64, window_kernel=kernel,
+        )
+        try:
+            s = DeviceHaplotypeSampler(genome, cohort, spans, cfg)
+            key = jax.random.PRNGKey(_KEY_NONCE + 31_337)
+            t0 = time.time()
+            d = s.sample_chain(n_chain, n_batches, key=key)
+            int(np.asarray(d))  # compile + digest fetch
+            log(f"windows chain [{kernel}]: compile+first {time.time() - t0:.1f}s")
+            ts = []
+            for i in range(max(3, N_ITERS // 3)):
+                k = jax.random.PRNGKey(_KEY_NONCE + 31_338 + i)
+                t0 = time.time()
+                d = s.sample_chain(n_chain, n_batches, key=k)
+                _ = int(np.asarray(d))  # the fetch IS the attestation
+                ts.append(time.time() - t0)
+            st = stats(ts)
+            wps = n_chain * n_batches * B / st["median_s"]
+            gbps = wps * 2 * L / 1e9
+            out[kernel] = {
+                "windows_per_sec": round(wps),
+                "gb_per_sec": round(gbps, 2),
+                "hbm_peak_fraction": round(gbps * 1e9 / V5E_HBM_BYTES_PER_S, 4),
+                **st,
+            }
+            log(
+                f"windows chain [{kernel}]: {fmt_stats(st)} = "
+                f"{wps:,.0f} windows/s device-resident "
+                f"({gbps:.1f} GB/s lower-bound traffic)"
+            )
+        except Exception as exc:
+            log(f"windows chain [{kernel}] failed: {exc}")
+            out[kernel] = {"windows_per_sec": 0, "error": str(exc)[:200]}
+    real = {k: v for k, v in out.items()
+            if isinstance(v, dict) and v.get("windows_per_sec", 0) > 0}
+    out["winner"] = max(real, key=lambda k: real[k]["windows_per_sec"]) if real else "none"
+    return out
+
+
 def bench_window_parity() -> dict:
     """On-chip bit-equality attestation for the window kernels (VERDICT r3
     #4): the Pallas kernel's parity was previously pinned only in interpret
@@ -1374,6 +1436,7 @@ def _result_json() -> dict:
         "windows_per_sec_onehot",
         "windows_materialized",
         "window_kernels",
+        "windows_chain",
         "window_parity",
         "window_kernel_parity",
         "cohort_donor_variants_per_sec",
@@ -1615,6 +1678,14 @@ def main() -> None:
         ("windows", lambda: bench_windows(materialize=d2h_now()), 45),
         ("window_kernels", lambda: bench_window_kernels(materialize=d2h_now()), 60),
         (
+            "windows_chain",
+            # the digest fetch is the attestation; needs healthy d2h
+            lambda: bench_windows_chain()
+            if d2h_now()
+            else {"note": "skipped: d2h unhealthy"},
+            40,
+        ),
+        (
             "window_parity",
             # the fetch IS the attestation; skip outright on a wedged link
             lambda: bench_window_parity()
@@ -1694,10 +1765,14 @@ def main() -> None:
         if name == "device_roofline":
             dr = _PARTIAL.get("device_roofline")
             return not (isinstance(dr, dict) and "gb_per_sec" in dr)
+        if name == "windows_chain":
+            wc = _PARTIAL.get("windows_chain")
+            return not (isinstance(wc, dict) and wc.get("winner") not in (None, "none"))
         return False
 
     retryable = {n: fn for n, fn, _ in aux_stages if n in (
-        "windows", "window_kernels", "window_parity", "device_roofline")}
+        "windows", "window_kernels", "windows_chain", "window_parity",
+        "device_roofline")}
     for name, fn in retryable.items():
         if not _needs_retry(name) or time_left() < 60:
             continue

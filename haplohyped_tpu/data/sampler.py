@@ -198,6 +198,68 @@ def _sample_batches(
     return outs
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "L", "K", "B", "D", "num_channels", "onehot_dtype", "n_batches",
+        "n_chain", "emit_onehot", "kernel", "interpret",
+    ),
+)
+def _sample_chain(
+    base_key,
+    chrom_lengths,
+    region_spans,
+    enc,
+    *,
+    L: int,
+    K: int,
+    B: int,
+    D: int,
+    num_channels: int,
+    onehot_dtype,
+    n_batches: int,
+    n_chain: int,
+    emit_onehot: bool = False,
+    kernel: str = "baseline",
+    interpret: bool = False,
+):
+    """Measurement kernel: ``n_chain`` DEPENDENT ``_sample_batches`` calls
+    in ONE executable.  Step ``k+1``'s PRNG key folds in a parity digest
+    of step ``k``'s outputs (every window byte feeds the digest), so the
+    chain is serial by construction — an execution relay can neither
+    elide nor overlap steps — and the returned scalar digest is the only
+    fetch a caller needs to prove the whole chain ran.  Device-resident
+    windows/sec = ``n_chain * n_batches * B / elapsed``."""
+
+    def body(key, _):
+        out = _sample_batches(
+            key,
+            jnp.int32(0),
+            chrom_lengths,
+            region_spans,
+            enc,
+            L=L,
+            K=K,
+            B=B,
+            D=D,
+            num_channels=num_channels,
+            onehot_dtype=onehot_dtype,
+            n_batches=n_batches,
+            emit_onehot=emit_onehot,
+            kernel=kernel,
+            interpret=interpret,
+        )
+        d1 = (out.hap1_codes.astype(jnp.uint32) & 1).sum() & 1
+        d2 = (out.hap2_codes.astype(jnp.uint32) & 1).sum() & 1
+        digest = (
+            d1 ^ (d2 << 1) ^ out.n_variants.astype(jnp.uint32).sum()
+        ).astype(jnp.uint32)
+        return jax.random.fold_in(key, digest), digest
+
+    _, digests = jax.lax.scan(body, base_key, None, length=n_chain)
+    return digests.sum()
+
+
 class DeviceHaplotypeSampler:
     """Stateful convenience wrapper around the jit sampling kernel."""
 
@@ -353,6 +415,34 @@ class DeviceHaplotypeSampler:
             num_channels=self.num_channels,
             onehot_dtype=self.onehot_dtype,
             n_batches=n_batches,
+            emit_onehot=self.emit_onehot,
+            kernel=self.kernel,
+            interpret=self._interpret,
+        )
+
+    def sample_chain(self, n_chain: int, n_batches: int, key: jax.Array | None = None):
+        """Measurement utility (see :func:`_sample_chain`): ``n_chain``
+        serially-dependent fused sampling dispatches; returns the scalar
+        digest whose fetch proves execution.  Used by the bench's
+        device-resident windows stage."""
+        if key is None:
+            base = self._base_key
+        else:
+            base = key
+        _, _, lengths = self._genome_dev
+        return _sample_chain(
+            base,
+            lengths,
+            self._regions_dev,
+            self._enc,
+            L=self.config.seq_length,
+            K=self.config.max_variants_per_window,
+            B=self.config.batch_size,
+            D=self.cohort.num_donors,
+            num_channels=self.num_channels,
+            onehot_dtype=self.onehot_dtype,
+            n_batches=n_batches,
+            n_chain=n_chain,
             emit_onehot=self.emit_onehot,
             kernel=self.kernel,
             interpret=self._interpret,

@@ -281,3 +281,55 @@ def test_duplicate_positions_last_wins():
         jnp.asarray(st), L=L, K=K, interpret=True,
     )
     assert_windows_equal(pal, base)
+
+
+class TestSampleChain:
+    """Chained measurement kernel (sampler.sample_chain): deterministic
+    digest per key, and the chain actually depends on every step (a
+    different key changes the digest)."""
+
+    def test_digest_deterministic_and_key_sensitive(self):
+        import jax
+        import numpy as np
+
+        from haplohyped_tpu.core.config import SamplerConfig
+        from haplohyped_tpu.core.constants import SNP_STRUCT_DTYPE
+        from haplohyped_tpu.data.cohort import CohortTensors
+        from haplohyped_tpu.data.genome import GenomeTensors
+        from haplohyped_tpu.data.sampler import DeviceHaplotypeSampler
+
+        rng = np.random.default_rng(5)
+        L_chrom = 5000
+        genome = GenomeTensors.from_code_arrays(
+            {"chr1": rng.integers(0, 4, size=L_chrom).astype(np.int8)}
+        )
+        pos = np.sort(
+            rng.choice(L_chrom - 80, size=200, replace=False)
+        ).astype(np.int64)
+        table = np.zeros(200, dtype=SNP_STRUCT_DTYPE)
+        table["chrom"] = b"chr1"
+        table["start"] = pos
+        table["stop"] = pos + 1
+        table["ref"] = b"A"
+        table["alt"] = b"G"
+        table["phase1"] = rng.integers(0, 2, size=200)
+        table["phase2"] = rng.integers(0, 2, size=200)
+        donors = ["d0", "d1"]
+        cohort = CohortTensors.from_structs(
+            {(d, "chr1"): table for d in donors}, donors, ["chr1"]
+        )
+        spans = np.stack(
+            [(s0 := rng.integers(0, L_chrom - 200, size=16)), s0 + 100], axis=1
+        )
+        cfg = SamplerConfig(
+            seq_length=64, batch_size=4, seed=0, max_variants_per_window=8,
+            window_kernel="fast",
+        )
+        s = DeviceHaplotypeSampler(genome, cohort, spans, cfg)
+        k1 = jax.random.PRNGKey(1)
+        d_a = int(np.asarray(s.sample_chain(3, 2, key=k1)))
+        d_b = int(np.asarray(s.sample_chain(3, 2, key=k1)))
+        assert d_a == d_b
+        d_c = int(np.asarray(s.sample_chain(3, 2, key=jax.random.PRNGKey(2))))
+        # 2^-32 collision chance: a different stream must change the digest
+        assert d_a != d_c

@@ -44,6 +44,7 @@ STAGES: dict[str, tuple[str, ...]] = {
         "windows_materialized",
     ),
     "window_kernels": ("window_kernels",),
+    "windows_chain": ("windows_chain",),
     "window_parity": ("window_parity", "window_kernel_parity"),
     "decode12": ("decode12", "decode12_xla_vps", "decode12_pallas_vps"),
     "device_roofline": ("device_roofline",),
@@ -114,6 +115,8 @@ def stage_degenerate(nums: dict, stage: str) -> bool:
         return not _shootout_valid(nums.get(stage))
     if stage == "window_kernels":
         return not _shootout_valid(nums.get("window_kernels"))
+    if stage == "windows_chain":
+        return not _shootout_valid(nums.get("windows_chain"))
     if stage == "windows":
         return not nums.get("windows_per_sec")
     if stage == "cohort":
@@ -143,6 +146,13 @@ def stage_verified(nums: dict, stage: str) -> bool:
             isinstance(wk, dict)
             and bool(wk.get("materialized"))
             and _shootout_valid(wk)
+        )
+    if stage == "windows_chain":
+        wc = nums.get("windows_chain")
+        return (
+            isinstance(wc, dict)
+            and wc.get("method") == "chained-scan+d2h-fetch"
+            and _shootout_valid(wc)
         )
     if stage == "window_parity":
         wp = nums.get("window_parity")

@@ -194,6 +194,18 @@ def render_arch_block(nums: dict) -> str:
             "measurement ever put ahead — and to the word-gather `fast` "
             "kernel elsewhere; all are selectable per-sampler."
         )
+    wc = nums.get("windows_chain")
+    if isinstance(wc, dict) and wc.get("winner") not in (None, "none"):
+        win = wc["winner"]
+        wps = wc[win]["windows_per_sec"]
+        lines.append(
+            f"- device-resident windows/sec (chained-scan + digest fetch — "
+            f"dispatch and fetch amortized over {wc.get('n_chain', '?')} "
+            f"dependent fused dispatches): **{wps:,} windows/s** with the "
+            f"`{win}` kernel.  This is the kernel's own rate; the sampler "
+            f"table row above is dispatch-inclusive (one fetch per "
+            f"iteration) and bounds the *per-dispatch* path instead."
+        )
     wp = nums.get("window_parity")
     if isinstance(wp, dict) and wp.get("parity"):
         lines.append(
@@ -269,6 +281,12 @@ def render_roofline_table(nums: dict) -> list[str]:
             if isinstance(v, dict) and "gb_per_sec" in v and "note" not in v:
                 rows.append((f"decode12/{k}" if k != "v2" else "decode/v2",
                              f"decode12/{k}", v))
+    wc = nums.get("windows_chain") or {}
+    if wc.get("method") == "chained-scan+d2h-fetch":
+        for k in ("baseline", "fast", "pallas"):
+            v = wc.get(k)
+            if isinstance(v, dict) and v.get("windows_per_sec", 0) > 0:
+                rows.append((f"window/{k}", f"windows/{k}", v))
     wk = nums.get("window_kernels") or {}
     if wk.get("materialized"):
         for k in ("baseline", "fast", "pallas"):
