@@ -1199,6 +1199,82 @@ def bench_windows_chain() -> dict:
     return out
 
 
+def bench_train() -> dict:
+    """Fully on-device training throughput: the fused sample-into-train
+    step (sampler draw + HaploFormer fwd/bwd + optax update in ONE
+    dispatch — `models/train.make_fused_train_step`).  K steps run inside
+    one jit via lax.scan; parameter updates chain the steps serially by
+    construction, and the final loss fetch is the attestation.  Reports
+    steps/s, windows/s, and tokens/s on the chip — the MXU-side headline
+    the reference (which stops at the DataLoader) has no analogue of."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from haplohyped_tpu.core.config import SamplerConfig
+    from haplohyped_tpu.data.sampler import DeviceHaplotypeSampler
+    from haplohyped_tpu.models.haploformer import HaploFormer, HaploFormerConfig
+    from haplohyped_tpu.models.train import create_train_state, make_fused_train_step
+
+    genome, cohort, spans = _window_fixture()
+    B, L = 64, 1000
+    on_cpu = jax.devices()[0].platform == "cpu"
+    K = 4 if on_cpu else 20
+    cfg = SamplerConfig(seq_length=L, batch_size=B, seed=0, max_variants_per_window=64)
+    sampler = DeviceHaplotypeSampler(genome, cohort, spans, cfg)
+    mcfg = HaploFormerConfig(num_layers=2 if on_cpu else 4)
+    model = HaploFormer(mcfg)
+    first = sampler.sample()
+    state, tx = create_train_state(
+        model, jax.random.PRNGKey(_KEY_NONCE % 997), (first.hap1, first.hap2), 3e-4
+    )
+    fused = make_fused_train_step(model, tx, sampler)
+
+    def train_k(st, base_idx: int):
+        # K per-step dispatches queue asynchronously; params chain step
+        # k -> k+1 on device, so the FINAL loss fetch forces the whole
+        # sequence (wrapping the K steps in one lax.scan executable was
+        # tried and compiles for 5 minutes — the per-step jit compiles
+        # once and the async dispatch queue hides per-step latency)
+        m = None
+        for i in range(K):
+            st, m = fused(st, jnp.int32(base_idx + i))
+        return st, m["loss"]
+
+    t0 = time.time()
+    state, loss = train_k(state, 0)
+    loss0 = float(np.asarray(loss))  # compile + attestation fetch
+    log(f"fused train: compile+first chain {time.time() - t0:.1f}s (loss {loss0:.3f})")
+    ts = []
+    for i in range(max(3, N_ITERS // 3)):
+        t0 = time.time()
+        state, loss = train_k(state, (i + 1) * K)
+        lv = float(np.asarray(loss))  # forced materialization
+        ts.append((time.time() - t0) / K)
+    st = stats(ts)
+    sps = 1.0 / st["median_s"]
+    out = {
+        "steps_per_sec": round(sps, 2),
+        "windows_per_sec": round(sps * B),
+        "tokens_per_sec": round(sps * B * L),
+        "batch": B,
+        "seq_len": L,
+        "model": {
+            "d_model": mcfg.d_model, "layers": mcfg.num_layers,
+            "dtype": mcfg.dtype,
+        },
+        "final_loss": round(lv, 4),
+        "method": "chained-scan+loss-fetch",
+        **st,
+    }
+    log(
+        f"fused sample+train ({mcfg.num_layers}L d{mcfg.d_model} {mcfg.dtype}): "
+        f"{fmt_stats(st)}/step = {sps:.1f} steps/s, "
+        f"{sps * B * L / 1e6:.2f}M tokens/s (loss {lv:.3f})"
+    )
+    return out
+
+
 def bench_window_parity() -> dict:
     """On-chip bit-equality attestation for the window kernels (VERDICT r3
     #4): the Pallas kernel's parity was previously pinned only in interpret
@@ -1444,6 +1520,7 @@ def _result_json() -> dict:
         "decode12_pallas_vps",
         "decode12",
         "device_roofline",
+        "train",
         "tokenizer",
         "whole_genome",
         "fasta",
@@ -1715,6 +1792,14 @@ def main() -> None:
         ),
         ("fasta", lambda: bench_fasta(threads), 40),
         ("storage", lambda: bench_storage(), 25),
+        (
+            "train",
+            # the loss fetch is the attestation; needs healthy d2h
+            lambda: bench_train()
+            if d2h_now()
+            else {"note": "skipped: d2h unhealthy"},
+            100,
+        ),
         (
             "tokenizer",
             # both paths end with host-side columns: a wedged d2h hangs

@@ -49,6 +49,7 @@ STAGES: dict[str, tuple[str, ...]] = {
     "decode12": ("decode12", "decode12_xla_vps", "decode12_pallas_vps"),
     "device_roofline": ("device_roofline",),
     "tokenizer": ("tokenizer",),
+    "train": ("train",),
     "whole_genome": ("whole_genome",),
     "cohort": ("cohort_donor_variants_per_sec",),
     "fasta": ("fasta",),
@@ -127,6 +128,9 @@ def stage_degenerate(nums: dict, stage: str) -> bool:
     if stage == "device_roofline":
         dr = nums.get("device_roofline")
         return not (isinstance(dr, dict) and "gb_per_sec" in dr)
+    if stage == "train":
+        t = nums.get("train")
+        return not (isinstance(t, dict) and t.get("steps_per_sec", 0) > 0)
     if stage == "headline":
         return not nums.get("value")
     return False
@@ -168,6 +172,13 @@ def stage_verified(nums: dict, stage: str) -> bool:
         return _shootout_valid(nums.get("tokenizer"))
     if stage == "decode12":
         return _shootout_valid(nums.get("decode12"))
+    if stage == "train":
+        t = nums.get("train")
+        return (
+            isinstance(t, dict)
+            and t.get("method") == "chained-scan+loss-fetch"
+            and t.get("steps_per_sec", 0) > 0
+        )
     if stage == "cohort":
         return bool(nums.get("cohort_donor_variants_per_sec"))
     if stage == "headline":

@@ -206,6 +206,20 @@ def render_arch_block(nums: dict) -> str:
             f"table row above is dispatch-inclusive (one fetch per "
             f"iteration) and bounds the *per-dispatch* path instead."
         )
+    tr = nums.get("train")
+    if isinstance(tr, dict) and tr.get("steps_per_sec", 0) > 0:
+        m = tr.get("model", {})
+        lines.append(
+            f"- fully on-device training (fused sample-into-train step: "
+            f"sampler draw + HaploFormer fwd/bwd + optax update, one "
+            f"dispatch/step, loss-fetch attested): "
+            f"**{tr['steps_per_sec']} steps/s** = "
+            f"{tr.get('tokens_per_sec', 0) / 1e6:.2f}M tokens/s at "
+            f"B={tr.get('batch')}, L={tr.get('seq_len')} "
+            f"({m.get('layers')}L d{m.get('d_model')} {m.get('dtype')}).  "
+            f"The reference stops at the DataLoader; this is the path it "
+            f"has no analogue of."
+        )
     wp = nums.get("window_parity")
     if isinstance(wp, dict) and wp.get("parity"):
         lines.append(
