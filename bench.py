@@ -750,7 +750,8 @@ def bench_device_roofline(vcf: str, sample: str, threads: int) -> dict:
         log(f"HBM calibration failed: {exc}")
 
     # headline numbers: the kernel the converter actually uses on TPU
-    best = result.get("pallas", result["xla"])
+    # (the packed XLA decode — vcf_to_h5._decode12)
+    best = result.get("packed", result.get("pallas", result["xla"]))
     result.update(best)
     # the docs renderer only trusts numbers from this anti-eliding design
     result["method"] = "chained-scan+d2h-fetch"

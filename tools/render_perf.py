@@ -301,14 +301,14 @@ def render_roofline_table(nums: dict) -> list[str]:
             v = wc.get(k)
             if isinstance(v, dict) and v.get("windows_per_sec", 0) > 0:
                 rows.append((f"window/{k}", f"windows/{k}", v))
+    have_chain = any(label.startswith("window/") for label, _, _ in rows)
     wk = nums.get("window_kernels") or {}
-    if wk.get("materialized"):
+    if wk.get("materialized") and not have_chain:
+        # fall back to the shoot-out's dispatch-inclusive timings only
+        # when no device-resident chained rows exist
         for k in ("baseline", "fast", "pallas"):
             v = wk.get(k)
             if isinstance(v, dict) and "gb_per_sec" in v and "note" not in v:
-                # the shoot-out times whole dispatches incl. the per-
-                # iteration d2h attestation fetch — a lower bound on the
-                # kernel, unlike the decode rows' device-resident chain
                 rows.append((f"window/{k} (dispatch-inclusive)", f"windows/{k}", v))
     if not rows:
         return []
