@@ -222,12 +222,22 @@ def bgzf_write(path: str, text: bytes, level: int = 1) -> None:
 
 
 def _make_vcf(
-    path: str, n_variants: int, samples: list[str], seed: int = 0
+    path: str,
+    n_variants: int,
+    samples: list[str],
+    seed: int = 0,
+    chrom: str = "chr1",
+    gap: tuple[int, int] = (50, 200),
+    contig_len: int = 800_000_000,
+    with_ids: bool = True,
 ) -> None:
+    """Vectorized synthetic BGZF VCF writer — the single corpus generator
+    shared by bench.py and benchmarks/scaling.py (one format authority:
+    a GT-layout or header fix lands in both benchmark families)."""
     rng = np.random.default_rng(seed)
     t0 = time.time()
     bases = np.array(list("ACGT"))
-    positions = np.cumsum(rng.integers(50, 200, size=n_variants)) + 10_000
+    positions = np.cumsum(rng.integers(*gap, size=n_variants)) + 10_000
     refs = bases[rng.integers(0, 4, size=n_variants)]
     alt_off = rng.integers(1, 4, size=n_variants)
     alts = bases[(np.searchsorted(bases, refs) + alt_off) % 4]
@@ -236,7 +246,7 @@ def _make_vcf(
     ]
     parts = [
         "##fileformat=VCFv4.2\n"
-        "##contig=<ID=chr1,length=800000000>\n"
+        f"##contig=<ID={chrom},length={contig_len}>\n"
         '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n'
         "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
         + "\t".join(samples)
@@ -246,7 +256,8 @@ def _make_vcf(
     for lo in range(0, n_variants, CHUNK):
         hi = min(lo + CHUNK, n_variants)
         rows = [
-            f"chr1\t{positions[i]}\trs{i}\t{refs[i]}\t{alts[i]}\t.\tPASS\t.\tGT\t"
+            f"{chrom}\t{positions[i]}\t{f'rs{i}' if with_ids else '.'}\t"
+            f"{refs[i]}\t{alts[i]}\t.\tPASS\t.\tGT\t"
             + "\t".join(gts[i])
             for i in range(lo, hi)
         ]
@@ -1338,18 +1349,27 @@ def bench_window_parity() -> dict:
 TOK_VARIANTS = int(os.environ.get("HH_BENCH_TOK_VARIANTS", 500_000))
 
 
-def _ensure_tok_corpora(n_files: int = 3) -> list[str]:
-    """Small distinct corpora for the tokenizer head-to-head: the relay
-    caches executions by content, so each timed iteration must read a
-    DIFFERENT file (framing mutates buffers; the tokenizer path uploads
-    file bytes as-is)."""
-    os.makedirs(BENCH_DIR, exist_ok=True)
+def _ensure_tok_corpora(n_files: int) -> list[str]:
+    """Distinct PER-RUN corpora for the tokenizer head-to-head: the relay
+    caches executions by content hash ACROSS processes, so every timed
+    iteration must read a file no run has ever uploaded before — the
+    seed folds in a per-run nonce, and one file exists per (warm + timed)
+    iteration so no content repeats within the run either."""
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="hh_tok_", dir=BENCH_DIR if os.path.isdir(BENCH_DIR) else None)
+    import atexit
+
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
     paths = []
     for k in range(n_files):
-        p = os.path.join(BENCH_DIR, f"tok_{TOK_VARIANTS}_{k}.bgzf.vcf.gz")
-        if not os.path.exists(p):
-            log(f"generating tokenizer corpus {k}: {TOK_VARIANTS} variants ...")
-            _make_vcf(p, TOK_VARIANTS, ["tok-sample-0000"], seed=100 + k)
+        p = os.path.join(d, f"tok_{TOK_VARIANTS}_{k}.bgzf.vcf.gz")
+        log(f"generating tokenizer corpus {k}/{n_files}: {TOK_VARIANTS} variants ...")
+        _make_vcf(
+            p, TOK_VARIANTS, ["tok-sample-0000"],
+            seed=(_KEY_NONCE % 100_000) * 64 + k,
+        )
         paths.append(p)
     return paths
 
@@ -1368,10 +1388,11 @@ def bench_tokenizer(threads: int) -> dict:
     from haplohyped_tpu.ops.vcf_decode import decode_frames12
     from haplohyped_tpu.ops.vcf_stream import tokenize_vcf_streaming
 
-    paths = _ensure_tok_corpora()
+    iters = max(3, N_ITERS // 2)
+    # one corpus per (warm + timed) iteration: index i maps to file i
+    paths = _ensure_tok_corpora(iters + 1)
     sample = "tok-sample-0000"
     dev = jax.devices()[0]
-    iters = max(3, N_ITERS // 2)
 
     def run_tokenizer(i: int) -> int:
         out = tokenize_vcf_streaming(
@@ -1846,8 +1867,11 @@ def main() -> None:
             wk = _PARTIAL.get("window_kernels")
             return isinstance(wk, dict) and not wk.get("materialized")
         if name == "window_parity":
+            # retry only if the stage never RAN (skip note / absent) — a
+            # genuine measured mismatch must not be re-rolled until it
+            # passes (it is the only evidence of a real kernel bug)
             wp = _PARTIAL.get("window_parity")
-            return not (isinstance(wp, dict) and wp.get("parity"))
+            return not (isinstance(wp, dict) and wp.get("kernels"))
         if name == "device_roofline":
             dr = _PARTIAL.get("device_roofline")
             return not (isinstance(dr, dict) and "gb_per_sec" in dr)

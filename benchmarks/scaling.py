@@ -44,41 +44,22 @@ SCALE_VARIANTS = int(os.environ.get("HH_SCALE_VARIANTS", 200_000))
 
 def _make_scale_vcf(path: str, chrom: str, n_variants: int, n_samples: int,
                     seed: int) -> None:
-    """Vectorized BGZF VCF writer (tests/synth.make_corpus formats row by
-    row in Python — 60x too slow at this corpus size — and writes
-    single-stream gzip, which would serialize the native reader's
-    block-parallel decompression)."""
-    import numpy as np
+    """Scaling corpus via bench.py's shared vectorized BGZF writer (one
+    corpus-format authority for both benchmark families; tests/synth's
+    row-by-row gzip writer is 60x too slow at this size and would
+    serialize the native reader's block-parallel decompression)."""
+    from bench import _make_vcf
 
-    from haplohyped_tpu.hostio.bgzf import bgzf_write
-
-    rng = np.random.default_rng(seed)
-    samples = [f"donor-{i:04d}-aaaa-bbbb-cccc" for i in range(n_samples)]
-    bases = np.array(list("ACGT"))
-    positions = np.cumsum(rng.integers(5, 40, size=n_variants)) + 1000
-    refs = bases[rng.integers(0, 4, size=n_variants)]
-    alts = bases[(np.searchsorted(bases, refs) + rng.integers(1, 4, size=n_variants)) % 4]
-    gts = np.array(["0|0", "0|1", "1|0", "1|1"])[
-        rng.integers(0, 4, size=(n_variants, n_samples))
-    ]
-    parts = [
-        "##fileformat=VCFv4.2\n"
-        f"##contig=<ID={chrom},length=100000000>\n"
-        '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n'
-        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
-        + "\t".join(samples) + "\n"
-    ]
-    CHUNK = 50_000
-    for lo in range(0, n_variants, CHUNK):
-        hi = min(lo + CHUNK, n_variants)
-        rows = [
-            f"{chrom}\t{positions[i]}\t.\t{refs[i]}\t{alts[i]}\t.\tPASS\t.\tGT\t"
-            + "\t".join(gts[i])
-            for i in range(lo, hi)
-        ]
-        parts.append("\n".join(rows) + "\n")
-    bgzf_write(path, "".join(parts).encode(), level=1,
-               threads=min(8, os.cpu_count() or 1))
+    _make_vcf(
+        path,
+        n_variants,
+        [f"donor-{i:04d}-aaaa-bbbb-cccc" for i in range(n_samples)],
+        seed=seed,
+        chrom=chrom,
+        gap=(5, 40),
+        contig_len=100_000_000,
+        with_ids=False,
+    )
 
 
 def _make_scale_corpus() -> str:
@@ -156,8 +137,12 @@ def run_multiprocess(nprocs: int, data_dir: str) -> dict:
     effs = sorted(t1 / (nprocs * tn) * 100 for t1, tn in rounds)
     med = effs[len(effs) // 2]
     ci_lo, ci_hi = _bootstrap_median_ci(effs)
-    t1_med = sorted(r[0] for r in rounds)[n_rounds // 2]
-    tn_med = sorted(r[1] for r in rounds)[n_rounds // 2]
+    # report the (t1, tn) PAIR of the round whose efficiency is the
+    # median, so t_1proc/(N*t_Nproc) recomputes to exactly the headline
+    # (independently sorted medians contradicted it by a few points)
+    t1_med, tn_med = min(
+        rounds, key=lambda r: abs(r[0] / (nprocs * r[1]) * 100 - med)
+    )
     print(
         f"multiprocess conversion (median of {n_rounds} paired rounds): "
         f"1 proc {t1_med:.2f}s, {nprocs} procs {tn_med:.2f}s -> "
@@ -277,8 +262,9 @@ def run_compute_proxy(nprocs: int, data_dir: str, iters: int = 4) -> dict:
     effs = sorted(t1 / (nprocs * tn) * 100 for t1, tn in rounds)
     med = effs[len(effs) // 2]
     ci_lo, ci_hi = _bootstrap_median_ci(effs)
-    t1_med = sorted(r[0] for r in rounds)[n_rounds // 2]
-    tn_med = sorted(r[1] for r in rounds)[n_rounds // 2]
+    t1_med, tn_med = min(
+        rounds, key=lambda r: abs(r[0] / (nprocs * r[1]) * 100 - med)
+    )
     print(
         f"compute proxy (numpy v2 decode, no comm; median of {n_rounds} "
         f"paired rounds): 1 proc {t1_med:.2f}s, {nprocs} procs {tn_med:.2f}s "
@@ -292,6 +278,7 @@ def run_compute_proxy(nprocs: int, data_dir: str, iters: int = 4) -> dict:
         "median_efficiency_pct": round(med, 1),
         "median_ci90_pct": [round(ci_lo, 1), round(ci_hi, 1)],
         "efficiencies_pct": [round(e, 1) for e in effs],
+        "rounds": [[round(a, 3), round(b, 3)] for a, b in rounds],
         "note": "superlinear (>100%) is a real cache effect: splitting the "
         "chromosome set halves each worker's hot frame buffers into L2; "
         "treat as an upper bound on the rig's parallel capability",

@@ -254,6 +254,14 @@ def _sample_chain(
         digest = (
             d1 ^ (d2 << 1) ^ out.n_variants.astype(jnp.uint32).sum()
         ).astype(jnp.uint32)
+        if emit_onehot:
+            # the one-hot leaves are DISTINCT outputs (hap1/hap2 alias
+            # hap*_codes only in codes mode) — fold them in too, or XLA
+            # dead-code-eliminates the 5x one-hot expansion and the chain
+            # measures codes-mode throughput under a one-hot label
+            o1 = (out.hap1.astype(jnp.uint32) & 1).sum() & 1
+            o2 = (out.hap2.astype(jnp.uint32) & 1).sum() & 1
+            digest = digest ^ (o1 << 2) ^ (o2 << 3)
         return jax.random.fold_in(key, digest), digest
 
     _, digests = jax.lax.scan(body, base_key, None, length=n_chain)
@@ -426,7 +434,12 @@ class DeviceHaplotypeSampler:
         digest whose fetch proves execution.  Used by the bench's
         device-resident windows stage."""
         if key is None:
-            base = self._base_key
+            # fold + advance the step counter (like sample/sample_many):
+            # repeated key-less chains must not dispatch byte-identical
+            # executions (a caching relay would elide the repeat) nor
+            # collide with the training stream's step-0 key
+            base = jax.random.fold_in(self._base_key, self._step)
+            self._step += n_chain * n_batches
         else:
             base = key
         _, _, lengths = self._genome_dev

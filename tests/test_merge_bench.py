@@ -57,7 +57,7 @@ class TestPrecedence:
                 "pallas": {"windows_per_sec": 500_000_000},
                 "materialized": False,
             },
-            "window_parity": {"parity": False, "kernels": ["baseline"]},
+            "window_parity": {"parity": False, "note": "skipped: d2h unhealthy"},
             "device_roofline": {"note": "skipped: d2h unhealthy"},
         }
         out = merge(base, bad, "bad.json", False, "2026-08-22")
@@ -119,11 +119,29 @@ class TestVerifiedPredicate:
         )
         assert stage_verified(_verified_run(), "device_roofline")
 
-    def test_parity_requires_true(self):
+    def test_parity_verified_means_ran_not_passed(self):
+        """A genuinely measured MISMATCH is a verified result (the
+        attestation ran, outputs were fetched) — it must be able to
+        replace a stale parity:true; only skips are unverified."""
+        ran_mismatch = {"window_parity": {"parity": False, "kernels": ["a", "b"],
+                                          "mismatch": ["b"]}}
+        assert stage_verified(ran_mismatch, "window_parity")
         assert not stage_verified(
-            {"window_parity": {"parity": False, "kernels": ["a"]}},
+            {"window_parity": {"parity": False, "note": "skipped: d2h unhealthy"}},
             "window_parity",
         )
+
+    def test_measured_mismatch_replaces_stale_pass(self):
+        base = merge({}, _verified_run(), "good.json", True, "2026-08-21")
+        mismatch_run = {
+            "window_parity": {"parity": False,
+                              "kernels": ["baseline", "fast", "pallas"],
+                              "mismatch": ["pallas"]},
+            "window_kernel_parity": False,
+        }
+        out = merge(base, mismatch_run, "regress.json", False, "2026-08-22")
+        assert out["window_kernel_parity"] is False
+        assert out["window_parity"]["mismatch"] == ["pallas"]
 
 
 class TestLoadBench:

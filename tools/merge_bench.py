@@ -159,8 +159,11 @@ def stage_verified(nums: dict, stage: str) -> bool:
             and _shootout_valid(wc)
         )
     if stage == "window_parity":
+        # verified = the attestation RAN (outputs fetched for real
+        # kernels) — parity itself is the measured VALUE, so a genuine
+        # mismatch result can and must replace a stale parity:true
         wp = nums.get("window_parity")
-        return isinstance(wp, dict) and bool(wp.get("parity"))
+        return isinstance(wp, dict) and bool(wp.get("kernels")) and "note" not in wp
     if stage == "device_roofline":
         dr = nums.get("device_roofline")
         return (
