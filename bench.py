@@ -81,6 +81,17 @@ def fmt_stats(s: dict) -> str:
 #: timed iterations per stage (VERDICT r2 #3: >=10 for defensible medians)
 N_ITERS = int(os.environ.get("HH_BENCH_ITERS", 10))
 
+#: per-stage deadline (VERDICT r4 #1): the stage loop sets this before each
+#: stage; stage bodies consult stage_time_left() to shrink their iteration /
+#: fused-batch counts so ONE slow-dispatch relay mood cannot starve every
+#: stage behind it.  A thread-join backstop in the stage loop enforces the
+#: cap even on a stage that never checks.
+_STAGE = {"deadline": float("inf")}
+
+
+def stage_time_left() -> float:
+    return _STAGE["deadline"] - time.time()
+
 
 def device_health(timeout_s: float = 45.0, retries: int = 2) -> tuple[bool, bool]:
     """Probe device execute (in-process) and device->host transfer (in a
@@ -542,6 +553,9 @@ def bench_shootout(vcf: str, sample: str, threads: int) -> dict:
 #: v5e (v5 lite) peak HBM bandwidth, bytes/s
 V5E_HBM_BYTES_PER_S = 819e9
 
+#: v5e peak bf16 matmul throughput, FLOP/s (the MFU denominator)
+V5E_BF16_FLOPS_PER_S = 197e12
+
 
 def bench_device_roofline(vcf: str, sample: str, threads: int) -> dict:
     """Kernel-only decode throughput with input ALREADY on device: how far
@@ -634,8 +648,84 @@ def bench_device_roofline(vcf: str, sample: str, threads: int) -> dict:
 
     CHAIN = 64
 
+    # production kernels first (packed = the converter's shipping decode,
+    # v2 = the single-pass converter's decode): a stage-cap hit mid-loop
+    # costs the research kernels' rows, never the shipping numbers
+    order = ["packed", "v2", "xla", "planes", "pallas"]
+    kernels = {k: kernels[k] for k in order if k in kernels}
+
     result: dict = {}
+
+    # --- HBM calibration FIRST (r4 #1: cheapest-verified-first within the
+    # stage too — the denominator every kernel is judged against must exist
+    # even if a stage cap lands mid-loop).  VERDICT r4 #4 resolved: the old
+    # single-chain ``c ^ 1`` calibration reported 205 GB/s = 25% of peak,
+    # but that number was an ARTIFACT — the rig charges a ~26 ms fixed
+    # dispatch+fetch cost per chained call, and 32 steps x 128 MB is only
+    # ~10 ms of ideal work behind it (and a chain of ^1 steps is the
+    # identity for even lengths, so the relay can elide it outright).  The
+    # fix (tools/hbm_sweep.py, benchmarks/hbm_calibration.json): xorshift
+    # steps (nonlinear, never fold, content-fresh every step) at TWO chain
+    # lengths; the slope (t_long - t_short) / (n_long - n_short) is the
+    # true per-step time with the fixed cost split out.  Measured this
+    # way the rig sustains ~654 GB/s = 80% of the 819 GB/s paper peak.
+    CAL_SHORT, CAL_LONG = 16, 96
+    cal = np.zeros((256 << 20,), np.uint8)
+
+    def _cal_chain(length):
+        @jax.jit
+        def chain_cal(r):
+            def body(c, _):
+                c = c ^ (c << 3)
+                c = c ^ (c >> 5)
+                return c ^ (c << 1), ()
+
+            out, _ = lax.scan(body, r, None, length=length)
+            return out
+
+        return chain_cal
+
+    cal_gbps = 0.0
+    try:
+        totals = {}
+        cbuf = jax.device_put(cal, dev)
+        for length in (CAL_SHORT, CAL_LONG):
+            fn = _cal_chain(length)
+            cbuf = fn(cbuf)  # compile
+            int(np.asarray(cbuf[0]))
+            cts = []
+            for _ in range(3):
+                t0 = time.time()
+                cbuf = fn(cbuf)
+                _ = int(np.asarray(cbuf[0]))
+                cts.append(time.time() - t0)
+            totals[length] = float(np.median(cts))
+        per_step = (totals[CAL_LONG] - totals[CAL_SHORT]) / (CAL_LONG - CAL_SHORT)
+        fixed_cost = totals[CAL_SHORT] - CAL_SHORT * per_step
+        cal_gbps = 2 * cal.nbytes / max(per_step, 1e-9) / 1e9
+        cal_frac = cal_gbps * 1e9 / V5E_HBM_BYTES_PER_S
+        log(
+            f"HBM calibration (xorshift, slope over chains "
+            f"{CAL_SHORT}/{CAL_LONG}): {cal_gbps:.1f} GB/s = "
+            f"{cal_frac * 100:.1f}% of v5e peak "
+            f"(fixed dispatch+fetch cost {fixed_cost * 1e3:.1f} ms/call)"
+        )
+        result["hbm_calibration"] = {
+            "gb_per_sec": round(cal_gbps, 2),
+            "hbm_peak_fraction": round(cal_frac, 4),
+            "fixed_cost_s": round(fixed_cost, 5),
+            "per_step_s": round(per_step, 6),
+            "method": "xorshift-slope",
+        }
+        del cbuf
+    except Exception as exc:
+        log(f"HBM calibration failed: {exc}")
+
+    measured_one = False
     for name, (fn, carry_host, in_bytes, rec_axis) in kernels.items():
+        if measured_one and stage_time_left() < 8:
+            result[name] = {"note": "stage cap hit"}
+            continue
         carry_dev = jax.device_put(carry_host, dev)
         nk = carry_host.shape[rec_axis]
 
@@ -675,6 +765,8 @@ def bench_device_roofline(vcf: str, sample: str, threads: int) -> dict:
         int(np.asarray(buf[0, 2]))  # materialize (d2h gate)
         ts = []
         for _ in range(max(3, N_ITERS // 3)):
+            if ts and stage_time_left() < 0:
+                break  # stage cap: keep what is measured
             t0 = time.time()
             buf = chain_decode(buf)  # content differs every chain
             _ = int(np.asarray(buf[0, 2]))  # forced materialization
@@ -705,60 +797,24 @@ def bench_device_roofline(vcf: str, sample: str, threads: int) -> dict:
             "hbm_peak_fraction": round(frac, 4),
             **st,
         }
+        if cal_gbps > 0:
+            # judge each kernel against what the rig demonstrably sustains
+            result[name]["of_calibrated"] = round(gbps / cal_gbps, 4)
+            # the rig's fixed dispatch+fetch cost (measured by the
+            # calibration's slope fit) amortizes over CHAIN steps; report
+            # the kernel's dispatch-free bandwidth alongside the
+            # dispatch-inclusive primary
+            fc = result["hbm_calibration"].get("fixed_cost_s", 0.0)
+            adj_s = max(st["median_s"] - fc / CHAIN, 1e-9)
+            result[name]["gb_per_sec_dispatch_free"] = round(
+                bytes_total / adj_s / 1e9, 2
+            )
         if frac > 1.0:
             result[name]["note"] = (
                 f"implied {gbps:.0f} GB/s exceeds the v5e HBM roofline — "
                 "the relay elided execution; treat as an upper bound"
             )
-    # --- HBM calibration: the SAME chained-scan + d2h-fetch method on a
-    # pure elementwise kernel (scan carries a 128 MB buffer; XLA's while-
-    # loop lowering writes the carry to HBM every step, so each step is an
-    # honest 128 MB read + 128 MB write).  What the rig achieves HERE is
-    # the denominator kernels should be judged against when it sits far
-    # below the paper peak — it separates "kernel leaves bandwidth on the
-    # table" from "the rig caps everything".
-    CAL_CHAIN = 32
-    cal = np.zeros((128 << 20,), np.uint8)
-
-    @jax.jit
-    def chain_cal(r):
-        def body(c, _):
-            return c ^ jnp.uint8(1), ()
-
-        out, _ = lax.scan(body, r, None, length=CAL_CHAIN)
-        return out
-
-    try:
-        cbuf = jax.device_put(cal, dev)
-        cbuf = chain_cal(cbuf)  # compile
-        int(np.asarray(cbuf[0]))
-        cts = []
-        for _ in range(3):
-            t0 = time.time()
-            cbuf = chain_cal(cbuf)
-            _ = int(np.asarray(cbuf[0]))
-            cts.append((time.time() - t0) / CAL_CHAIN)
-        cst = stats(cts)
-        cal_gbps = 2 * cal.nbytes / cst["median_s"] / 1e9
-        cal_frac = cal_gbps * 1e9 / V5E_HBM_BYTES_PER_S
-        log(
-            f"HBM calibration (elementwise xor, same method): "
-            f"{cal_gbps:.1f} GB/s = {cal_frac * 100:.1f}% of v5e peak"
-        )
-        result["hbm_calibration"] = {
-            "gb_per_sec": round(cal_gbps, 2),
-            "hbm_peak_fraction": round(cal_frac, 4),
-            **cst,
-        }
-        # judge each kernel against what the rig demonstrably sustains
-        for name in kernels:
-            if name in result and "gb_per_sec" in result[name]:
-                result[name]["of_calibrated"] = round(
-                    result[name]["gb_per_sec"] / max(cal_gbps, 1e-9), 4
-                )
-        del cbuf
-    except Exception as exc:
-        log(f"HBM calibration failed: {exc}")
+        measured_one = True
 
     # headline numbers: the kernel the converter actually uses on TPU
     # (the packed XLA decode — vcf_to_h5._decode12)
@@ -945,6 +1001,8 @@ def _time_sampler(
 
     ts = []
     for i in range(iters):
+        if ts and stage_time_left() < 0:
+            break  # stage cap hit: keep what is measured (r4 #1)
         key = jax.random.PRNGKey(_KEY_NONCE + key_offset + i)
         t0 = time.time()
         o = sampler.sample_many(n_batches, key=key)
@@ -1002,7 +1060,9 @@ def bench_windows(materialize: bool = False) -> dict:
             probe = _time_sampler(
                 sampler, nb, 1, key_offset=20_000, materialize=materialize
             )[0]
-            it = iters if probe * iters <= 30.0 else max(3, int(30.0 / max(probe, 1e-9)))
+            # two modes share this stage's deadline budget (r4 #1)
+            budget = min(30.0, max(6.0, stage_time_left() * 0.45))
+            it = iters if probe * iters <= budget else max(3, int(budget / max(probe, 1e-9)))
             if it < iters:
                 log(f"sampler [{mode}]: slow dispatch ({probe:.1f}s/iter); {it} iters")
             ts = _time_sampler(sampler, nb, it, materialize=materialize)
@@ -1091,25 +1151,34 @@ def bench_window_kernels(materialize: bool = False) -> dict:
     # call costs seconds instead of milliseconds (measured 35,000x spread
     # on identical code); probe one round and shrink the round count so a
     # slow-mode stage can't starve the stages that follow it
-    probe = [
-        _time_sampler(s, n_batches, 1, key_offset=10_000,
-                      materialize=materialize)[0]
-        for s in samplers.values()
-    ]
-    round_cost = sum(probe)
-    if round_cost * iters > 60.0:
-        iters = max(3, int(60.0 / max(round_cost, 1e-9)))
+    probe = []
+    for s in samplers.values():
+        if probe and stage_time_left() < 0:
+            break  # slow-dispatch probe must not blow the stage cap
+        probe.append(
+            _time_sampler(s, n_batches, 1, key_offset=10_000,
+                          materialize=materialize)[0]
+        )
+    round_cost = sum(probe) * len(samplers) / max(len(probe), 1)
+    budget = min(60.0, max(10.0, stage_time_left() * 0.9))
+    if round_cost * iters > budget:
+        iters = max(2, int(budget / max(round_cost, 1e-9)))
         log(
             f"window kernels: slow dispatch mode ({round_cost:.1f}s/round); "
             f"reducing to {iters} rounds"
         )
     times: dict[str, list[float]] = {k: [] for k in samplers}
+    rounds_done = 0
     for r in range(iters):
+        if rounds_done and stage_time_left() < 0:
+            break  # cap enforced between paired rounds
         for kernel, sampler in samplers.items():
             times[kernel].extend(
                 _time_sampler(sampler, n_batches, 1, key_offset=r,
                               materialize=materialize)
             )
+        rounds_done += 1
+    iters = rounds_done or iters
     wins = {k: 0 for k in samplers}
     for r in range(iters):
         best = min(samplers, key=lambda k: times[k][r])
@@ -1166,10 +1235,15 @@ def bench_windows_chain() -> dict:
     B, L = 64, 1000
     on_cpu = jax.devices()[0].platform == "cpu"
     n_chain, n_batches = (2, 4) if on_cpu else (16, 256)
-    kernels = ["fast"] if on_cpu else ["baseline", "fast", "pallas"]
+    # production kernel FIRST: a stage-cap hit costs the losers' numbers,
+    # never the winner's (r4 #1)
+    kernels = ["fast"] if on_cpu else ["pallas", "fast", "baseline"]
     out: dict = {"n_chain": n_chain, "n_batches": n_batches,
                  "method": "chained-scan+d2h-fetch"}
     for kernel in kernels:
+        if kernel != kernels[0] and stage_time_left() < 5:
+            out[kernel] = {"windows_per_sec": 0, "error": "stage cap hit"}
+            continue
         cfg = SamplerConfig(
             seq_length=L, batch_size=B, seed=0,
             max_variants_per_window=64, window_kernel=kernel,
@@ -1183,6 +1257,8 @@ def bench_windows_chain() -> dict:
             log(f"windows chain [{kernel}]: compile+first {time.time() - t0:.1f}s")
             ts = []
             for i in range(max(3, N_ITERS // 3)):
+                if ts and stage_time_left() < 0:
+                    break  # stage cap: keep what is measured
                 k = jax.random.PRNGKey(_KEY_NONCE + 31_338 + i)
                 t0 = time.time()
                 d = s.sample_chain(n_chain, n_batches, key=k)
@@ -1211,43 +1287,56 @@ def bench_windows_chain() -> dict:
     return out
 
 
-def bench_train() -> dict:
-    """Fully on-device training throughput: the fused sample-into-train
-    step (sampler draw + HaploFormer fwd/bwd + optax update in ONE
-    dispatch — `models/train.make_fused_train_step`).  K steps run inside
-    one jit via lax.scan; parameter updates chain the steps serially by
-    construction, and the final loss fetch is the attestation.  Reports
-    steps/s, windows/s, and tokens/s on the chip — the MXU-side headline
-    the reference (which stops at the DataLoader) has no analogue of."""
+def _train_flops_per_step(fused, state, n_params: int, B: int, T: int) -> tuple[float, str]:
+    """Model FLOPs per fused train step (VERDICT r4 #5).  Primary source:
+    XLA's own cost model on the compiled executable; fallback: the 6ND
+    transformer rule of thumb (fwd+bwd ~ 6 x params x tokens)."""
     import jax
     import jax.numpy as jnp
-    import optax
+
+    try:
+        ca = fused.lower(state, jnp.int32(0)).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", 0.0))
+        if flops > 0:
+            return flops, "xla-cost-analysis"
+    except Exception as exc:
+        log(f"cost_analysis unavailable ({exc}); using analytic 6ND")
+    return 6.0 * n_params * B * T, "analytic-6ND"
+
+
+def _bench_train_config(
+    genome, cohort, spans, *, B: int, L: int, mcfg, K: int, iters: int
+) -> dict:
+    """One fused sample+train measurement at a given (model, batch) point.
+    K per-step dispatches queue asynchronously; params chain step k -> k+1
+    on device, so the FINAL loss fetch forces the whole sequence."""
+    import jax
+    import jax.numpy as jnp
 
     from haplohyped_tpu.core.config import SamplerConfig
     from haplohyped_tpu.data.sampler import DeviceHaplotypeSampler
-    from haplohyped_tpu.models.haploformer import HaploFormer, HaploFormerConfig
+    from haplohyped_tpu.models.haploformer import HaploFormer
     from haplohyped_tpu.models.train import create_train_state, make_fused_train_step
 
-    genome, cohort, spans = _window_fixture()
-    B, L = 64, 1000
     on_cpu = jax.devices()[0].platform == "cpu"
-    K = 4 if on_cpu else 20
     cfg = SamplerConfig(seq_length=L, batch_size=B, seed=0, max_variants_per_window=64)
     sampler = DeviceHaplotypeSampler(genome, cohort, spans, cfg)
-    mcfg = HaploFormerConfig(num_layers=2 if on_cpu else 4)
     model = HaploFormer(mcfg)
     first = sampler.sample()
     state, tx = create_train_state(
         model, jax.random.PRNGKey(_KEY_NONCE % 997), (first.hap1, first.hap2), 3e-4
     )
     fused = make_fused_train_step(model, tx, sampler)
+    n_params = sum(
+        int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(state.params)
+    )
+    flops_step, flops_src = _train_flops_per_step(
+        fused, state, n_params, B, L // mcfg.pool
+    )
 
     def train_k(st, base_idx: int):
-        # K per-step dispatches queue asynchronously; params chain step
-        # k -> k+1 on device, so the FINAL loss fetch forces the whole
-        # sequence (wrapping the K steps in one lax.scan executable was
-        # tried and compiles for 5 minutes — the per-step jit compiles
-        # once and the async dispatch queue hides per-step latency)
         m = None
         for i in range(K):
             st, m = fused(st, jnp.int32(base_idx + i))
@@ -1258,17 +1347,24 @@ def bench_train() -> dict:
     loss0 = float(np.asarray(loss))  # compile + attestation fetch
     log(f"fused train: compile+first chain {time.time() - t0:.1f}s (loss {loss0:.3f})")
     ts = []
-    for i in range(max(3, N_ITERS // 3)):
+    lv = loss0
+    for i in range(iters):
+        if ts and stage_time_left() < 0:
+            break  # stage cap: keep what is measured
         t0 = time.time()
         state, loss = train_k(state, (i + 1) * K)
         lv = float(np.asarray(loss))  # forced materialization
         ts.append((time.time() - t0) / K)
     st = stats(ts)
     sps = 1.0 / st["median_s"]
+    mfu = None if on_cpu else flops_step * sps / V5E_BF16_FLOPS_PER_S
     out = {
         "steps_per_sec": round(sps, 2),
         "windows_per_sec": round(sps * B),
         "tokens_per_sec": round(sps * B * L),
+        "n_params": n_params,
+        "flops_per_step": round(flops_step),
+        "flops_source": flops_src,
         "batch": B,
         "seq_len": L,
         "model": {
@@ -1279,11 +1375,59 @@ def bench_train() -> dict:
         "method": "chained-scan+loss-fetch",
         **st,
     }
+    if mfu is not None:
+        out["mfu"] = round(mfu, 4)
     log(
-        f"fused sample+train ({mcfg.num_layers}L d{mcfg.d_model} {mcfg.dtype}): "
-        f"{fmt_stats(st)}/step = {sps:.1f} steps/s, "
-        f"{sps * B * L / 1e6:.2f}M tokens/s (loss {lv:.3f})"
+        f"fused sample+train ({mcfg.num_layers}L d{mcfg.d_model} {mcfg.dtype}, "
+        f"B{B}): {fmt_stats(st)}/step = {sps:.1f} steps/s, "
+        f"{sps * B * L / 1e6:.2f}M tokens/s"
+        + (f", MFU {mfu * 100:.1f}% ({flops_src})" if mfu is not None else "")
+        + f" (loss {lv:.3f})"
     )
+    return out
+
+
+def bench_train() -> dict:
+    """Fully on-device training throughput: the fused sample-into-train
+    step (sampler draw + HaploFormer fwd/bwd + optax update in ONE
+    dispatch — `models/train.make_fused_train_step`).  Reports steps/s,
+    tokens/s, and MFU (VERDICT r4 #5) at two points: the flagship default
+    config, and — when the stage budget allows — a scaled config (d512 x
+    8L, B256) that shows whether the chip CAN be fed, i.e. whether a low
+    default-config MFU is a framework bound or just a small model."""
+    import jax
+
+    from haplohyped_tpu.models.haploformer import HaploFormerConfig
+
+    genome, cohort, spans = _window_fixture()
+    on_cpu = jax.devices()[0].platform == "cpu"
+    out = _bench_train_config(
+        genome, cohort, spans,
+        B=64, L=1000,
+        mcfg=HaploFormerConfig(num_layers=2 if on_cpu else 4),
+        K=4 if on_cpu else 20,
+        iters=max(3, N_ITERS // 3),
+    )
+    if not on_cpu and out.get("mfu") is not None:
+        if out["mfu"] < 0.2 and stage_time_left() > 90:
+            # the default model is too small to judge the framework by:
+            # measure a config sized for the MXU (one extra compile)
+            try:
+                scaled = _bench_train_config(
+                    genome, cohort, spans,
+                    B=256, L=1000,
+                    mcfg=HaploFormerConfig(d_model=512, num_layers=8),
+                    K=8, iters=3,
+                )
+                out["scaled"] = scaled
+            except Exception as exc:
+                log(f"scaled train config failed: {exc}")
+        mfu = out.get("scaled", out)["mfu"]
+        out["bound"] = (
+            "MXU-fed at the measured config" if mfu >= 0.2 else
+            "small-model bound: per-step dispatch + sampler overhead "
+            "dominate at this size; see 'scaled' for the fed-chip point"
+        )
     return out
 
 
@@ -1389,6 +1533,8 @@ def bench_tokenizer(threads: int) -> dict:
     from haplohyped_tpu.ops.vcf_stream import tokenize_vcf_streaming
 
     iters = max(3, N_ITERS // 2)
+    if stage_time_left() < 60:
+        iters = 3  # corpus generation + warm runs must fit the stage cap
     # one corpus per (warm + timed) iteration: index i maps to file i
     paths = _ensure_tok_corpora(iters + 1)
     sample = "tok-sample-0000"
@@ -1416,6 +1562,8 @@ def bench_tokenizer(threads: int) -> dict:
             log(f"L1 {name}: compile+first {time.time() - t0:.1f}s ({n} records)")
             ts = []
             for i in range(iters):
+                if ts and stage_time_left() < 0:
+                    break  # stage cap: keep what is measured
                 t0 = time.time()
                 fn(i + 1)
                 ts.append(time.time() - t0)
@@ -1533,6 +1681,7 @@ def _result_json() -> dict:
         "windows_per_sec",
         "windows_per_sec_onehot",
         "windows_materialized",
+        "windows_note",
         "window_kernels",
         "windows_chain",
         "window_parity",
@@ -1772,37 +1921,46 @@ def main() -> None:
     n, e2e_s = bench_parse_encode(vcf, sample, threads, with_d2h=d2h_ok)
     _PARTIAL["value"] = round(n / e2e_s)
 
-    # ordered by judge priority; min_time gates keep the watchdog honest
+    # cheapest-verified-first ordering + hard per-stage caps (VERDICT r4
+    # #1): host-side stages that never depend on relay honesty run first;
+    # the dispatch-inclusive window shoot-outs — the stages that starved
+    # the r4 driver artifact in the relay's slow-dispatch mood — run LAST,
+    # where a budget collapse costs only upper-bound numbers.  Each stage
+    # gets cap = clamp(fair share of remaining budget, min_time, cap_max),
+    # advertised via _STAGE["deadline"] (stage bodies shrink their own
+    # iteration counts) and enforced by a thread-join backstop.
     aux_stages = [
-        ("windows", lambda: bench_windows(materialize=d2h_now()), 45),
-        ("window_kernels", lambda: bench_window_kernels(materialize=d2h_now()), 60),
+        # (name, fn, min_time_s, cap_max_s)
+        ("storage", lambda: bench_storage(), 15, 60),
+        (
+            "cohort_donor_variants_per_sec",
+            lambda: round(bench_cohort(vcf, threads)),
+            15, 60,
+        ),
+        ("fasta", lambda: bench_fasta(threads), 20, 90),
+        (
+            "whole_genome",
+            lambda: bench_whole_genome(threads, device_decode=exec_ok and d2h_ok),
+            30, 120,
+        ),
         (
             "windows_chain",
             # the digest fetch is the attestation; needs healthy d2h
             lambda: bench_windows_chain()
             if d2h_now()
             else {"note": "skipped: d2h unhealthy"},
-            40,
+            25, 120,
         ),
         (
             "window_parity",
-            # the fetch IS the attestation; skip outright on a wedged link
+            # the fetch IS the attestation; skip outright on a wedged link.
+            # parity=None on skip (r4 #7): false is reserved for a MEASURED
+            # on-chip mismatch, never for "did not run"
             lambda: bench_window_parity()
             if d2h_now()
-            else {"parity": False, "note": "skipped: d2h unhealthy"},
-            25,
+            else {"parity": None, "note": "skipped: d2h unhealthy"},
+            20, 90,
         ),
-        (
-            "whole_genome",
-            lambda: bench_whole_genome(threads, device_decode=exec_ok and d2h_ok),
-            60,
-        ),
-        (
-            "cohort_donor_variants_per_sec",
-            lambda: round(bench_cohort(vcf, threads)),
-            20,
-        ),
-        ("shootout", lambda: bench_shootout(vcf, sample, threads), 45),
         (
             "device_roofline",
             # the stage's anti-eliding design REQUIRES a d2h fetch in the
@@ -1810,17 +1968,15 @@ def main() -> None:
             lambda: bench_device_roofline(vcf, sample, threads)
             if d2h_now()
             else {"note": "skipped: d2h unhealthy (stage needs the fetch)"},
-            30,
+            25, 150,
         ),
-        ("fasta", lambda: bench_fasta(threads), 40),
-        ("storage", lambda: bench_storage(), 25),
         (
             "train",
             # the loss fetch is the attestation; needs healthy d2h
             lambda: bench_train()
             if d2h_now()
             else {"note": "skipped: d2h unhealthy"},
-            100,
+            60, 180,
         ),
         (
             "tokenizer",
@@ -1828,33 +1984,87 @@ def main() -> None:
             lambda: bench_tokenizer(threads)
             if d2h_now()
             else {"note": "skipped: d2h unhealthy"},
-            45,
+            25, 90,
         ),
+        ("shootout", lambda: bench_shootout(vcf, sample, threads), 20, 90),
+        ("windows", lambda: bench_windows(materialize=d2h_now()), 20, 90),
+        ("window_kernels", lambda: bench_window_kernels(materialize=d2h_now()), 25, 120),
     ]
-    only = os.environ.get("HH_BENCH_STAGES")  # comma list to run a subset
-    for name, fn, min_time in aux_stages:
-        if only and name not in only.split(","):
-            continue
-        if time_left() < min_time:
-            log(f"skipping {name} stage ({time_left():.0f}s left < {min_time}s)")
-            continue
-        try:
-            val = fn()
-            if name == "shootout":
-                _PARTIAL["decode12"] = val
+
+    def _assign_stage(name: str, val) -> None:
+        if name == "shootout":
+            _PARTIAL["decode12"] = val
+            if isinstance(val, dict) and "xla" in val:
                 _PARTIAL["decode12_xla_vps"] = val["xla"]["vps"]
                 _PARTIAL["decode12_pallas_vps"] = val.get("pallas", {}).get("vps", 0)
-            elif name == "windows":
+        elif name == "windows":
+            if isinstance(val, dict) and "codes" in val:
                 _PARTIAL["windows_per_sec"] = round(val["codes"])
-                _PARTIAL["windows_per_sec_onehot"] = round(val["onehot"])
+                _PARTIAL["windows_per_sec_onehot"] = round(val.get("onehot", 0))
                 _PARTIAL["windows_materialized"] = val.get("materialized", False)
-            elif name == "window_parity":
-                _PARTIAL["window_parity"] = val
-                _PARTIAL["window_kernel_parity"] = bool(val.get("parity"))
             else:
-                _PARTIAL[name] = val
-        except Exception as exc:  # aux stages must not kill the headline
-            log(f"{name} stage failed: {exc}")
+                _PARTIAL["windows_note"] = val
+        elif name == "window_parity":
+            _PARTIAL["window_parity"] = val
+            p = val.get("parity") if isinstance(val, dict) else None
+            # null = did not run; false ONLY for a measured mismatch (r4 #7)
+            _PARTIAL["window_kernel_parity"] = None if p is None else bool(p)
+        else:
+            _PARTIAL[name] = val
+
+    import threading as _threading
+
+    def run_stage(name: str, fn, cap: float):
+        """Run a stage under its cap in a backstop thread.  Returns
+        (holder, orphan_thread_or_None); a wedged stage is abandoned (its
+        daemon thread keeps running — usually blocked on a dead d2h — and
+        its late result is harvested before emit if it ever lands)."""
+        _STAGE["deadline"] = time.time() + cap
+        holder: dict = {}
+
+        def body():
+            try:
+                holder["val"] = fn()
+            except Exception as exc:  # aux stages must not kill the headline
+                holder["exc"] = exc
+
+        th = _threading.Thread(target=body, daemon=True, name=f"stage-{name}")
+        th.start()
+        th.join(timeout=cap + 30.0)
+        return holder, (th if th.is_alive() else None)
+
+    only = os.environ.get("HH_BENCH_STAGES")  # comma list to run a subset
+    selected = [
+        s for s in aux_stages if not only or s[0] in only.split(",")
+    ]
+    late: list[tuple[str, dict, object]] = []
+    for idx, (name, fn, min_time, cap_max) in enumerate(selected):
+        stages_left = len(selected) - idx
+        cap = max(min_time, time_left() / stages_left)
+        cap = min(cap, cap_max, max(time_left() - 10.0, 5.0))
+        if time_left() < min(min_time, 15.0):
+            log(f"skipping {name} stage ({time_left():.0f}s left)")
+            continue
+        holder, orphan = run_stage(name, fn, cap)
+        if orphan is not None:
+            log(f"{name} stage hit its hard cap ({cap:.0f}s + 30s grace); moving on")
+            late.append((name, holder, orphan))
+            _assign_stage(name, {"note": f"timed out (cap {cap:.0f}s)"})
+            continue
+        if "exc" in holder:
+            log(f"{name} stage failed: {holder['exc']}")
+            continue
+        _assign_stage(name, holder["val"])
+
+    def _harvest_late() -> None:
+        for name, holder, th in late:
+            th.join(timeout=0.5)
+            if "val" in holder and not holder.get("used"):
+                holder["used"] = True
+                log(f"{name} stage finished after its cap; using the late result")
+                _assign_stage(name, holder["val"])
+
+    _harvest_late()
 
     # --- materialization retry pass (VERDICT r3 #1) ----------------------
     # If the d2h-dependent stages ran unmaterialized (bad relay window at
@@ -1880,7 +2090,7 @@ def main() -> None:
             return not (isinstance(wc, dict) and wc.get("winner") not in (None, "none"))
         return False
 
-    retryable = {n: fn for n, fn, _ in aux_stages if n in (
+    retryable = {n: fn for n, fn, *_ in selected if n in (
         "windows", "window_kernels", "windows_chain", "window_parity",
         "device_roofline")}
     for name, fn in retryable.items():
@@ -1889,21 +2099,18 @@ def main() -> None:
         if not d2h_now():
             break  # still unhealthy; later retries would also hang
         log(f"retry pass: re-running {name} materialized (d2h recovered)")
+        _STAGE["deadline"] = time.time() + min(90.0, time_left() - 10.0)
         try:
             val = fn()
             if name == "windows":
                 if val.get("materialized"):
-                    _PARTIAL["windows_per_sec"] = round(val["codes"])
-                    _PARTIAL["windows_per_sec_onehot"] = round(val["onehot"])
-                    _PARTIAL["windows_materialized"] = True
-            elif name == "window_parity":
-                _PARTIAL["window_parity"] = val
-                _PARTIAL["window_kernel_parity"] = bool(val.get("parity"))
+                    _assign_stage(name, val)
             else:
-                _PARTIAL[name] = val
+                _assign_stage(name, val)
         except Exception as exc:
             log(f"retry of {name} failed: {exc}")
 
+    _harvest_late()  # a wedged stage may have landed while retries ran
     _PARTIAL["emitted"] = True
     _emit(_result_json())
 

@@ -131,6 +131,21 @@ class TestVerifiedPredicate:
             "window_parity",
         )
 
+    def test_null_parity_skip_never_merges(self):
+        """VERDICT r4 #7: a skipped parity stage emits parity=None /
+        window_kernel_parity=null — machine-distinguishable from a
+        measured on-chip mismatch (parity=False with kernels).  The skip
+        is degenerate and must never overwrite a real attestation."""
+        skip = {
+            "window_parity": {"parity": None, "note": "skipped: d2h unhealthy"},
+            "window_kernel_parity": None,
+        }
+        assert stage_degenerate(skip, "window_parity")
+        assert not stage_verified(skip, "window_parity")
+        base = merge({}, _verified_run(), "good.json", True, "2026-08-21")
+        out = merge(base, skip, "skip.json", False, "2026-08-22")
+        assert out["window_kernel_parity"] is True  # attestation kept
+
     def test_measured_mismatch_replaces_stale_pass(self):
         base = merge({}, _verified_run(), "good.json", True, "2026-08-21")
         mismatch_run = {
