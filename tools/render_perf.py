@@ -318,8 +318,14 @@ def render_roofline_table(nums: dict) -> list[str]:
         "|---|---|---|---|",
     ]
     if cal:
+        meth = (
+            "xorshift slope fit — fixed dispatch+fetch cost "
+            f"{cal['fixed_cost_s'] * 1e3:.0f} ms/call split out"
+            if cal.get("method") == "xorshift-slope"
+            else "elementwise, same method"
+        )
         out.append(
-            f"| *HBM calibration (elementwise, same method)* | "
+            f"| *HBM calibration ({meth})* | "
             f"{cal['gb_per_sec']} | {cal['hbm_peak_fraction'] * 100:.1f}% | "
             f"*what the rig demonstrably sustains — the denominator below* |"
         )
