@@ -431,18 +431,34 @@ def main() -> None:
             }
             # 4-process run, oversubscribed on a 2-core rig: pins
             # correctness and coordination overhead at N > cores; its
-            # efficiency is core-bound by construction (~50% ceiling when
-            # 4 workers share 2 cores), so it reports but does not gate
-            # (VERDICT r3 #3)
+            # absolute efficiency is core-bound by construction (~50%
+            # ceiling when 4 workers share 2 cores), so the decision
+            # statistic is CEILING-RELATIVE efficiency — same rounds +
+            # bootstrap-CI methodology as the 2-process headline
+            # (VERDICT r4 #8)
             if os.environ.get("HH_SCALE_4PROC", "1") == "1":
-                os.environ["HH_SCALE_ROUNDS"] = str(
-                    min(3, int(os.environ.get("HH_SCALE_ROUNDS", 3)))
-                )
-                artifact["multiprocess_4"] = run_multiprocess(4, corpus_dir)
+                m4 = run_multiprocess(4, corpus_dir)
                 cores = os.cpu_count() or 1
-                artifact["multiprocess_4"]["core_bound_ceiling_pct"] = round(
-                    100.0 * cores / 4, 1
+                ceiling = 100.0 * cores / 4
+                m4["core_bound_ceiling_pct"] = round(ceiling, 1)
+                m4["of_ceiling_pct"] = round(
+                    m4["median_efficiency_pct"] / ceiling * 100, 1
                 )
+                m4["of_ceiling_ci90_pct"] = [
+                    round(c / ceiling * 100, 1) for c in m4["median_ci90_pct"]
+                ]
+                m4["verdict"] = (
+                    f"{m4['of_ceiling_pct']}% of the {ceiling:.0f}% "
+                    f"core-bound ceiling (CI {m4['of_ceiling_ci90_pct']}): "
+                    + (
+                        "oversubscribed scaling is contention-bound, not a "
+                        "coordination defect"
+                        if m4["of_ceiling_pct"] >= 70
+                        else "shortfall beyond core contention — investigate "
+                        "coordination overhead"
+                    )
+                )
+                artifact["multiprocess_4"] = m4
         except Exception as exc:
             print(f"multiprocess mode failed: {exc}")
             artifact["multiprocess"] = {"error": str(exc)}

