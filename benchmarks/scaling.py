@@ -447,15 +447,24 @@ def main() -> None:
                 m4["of_ceiling_ci90_pct"] = [
                     round(c / ceiling * 100, 1) for c in m4["median_ci90_pct"]
                 ]
+                ci_lo, ci_hi = m4["of_ceiling_ci90_pct"]
                 m4["verdict"] = (
                     f"{m4['of_ceiling_pct']}% of the {ceiling:.0f}% "
-                    f"core-bound ceiling (CI {m4['of_ceiling_ci90_pct']}): "
+                    f"core-bound ceiling (CI [{ci_lo}, {ci_hi}]): "
                     + (
                         "oversubscribed scaling is contention-bound, not a "
                         "coordination defect"
                         if m4["of_ceiling_pct"] >= 70
-                        else "shortfall beyond core contention — investigate "
-                        "coordination overhead"
+                        else (
+                            "median below the ceiling but the CI reaches "
+                            f"{ci_hi}% — at 5 rounds on an oversubscribed "
+                            "2-core rig the result is consistent with "
+                            "contention-bound scaling; a correctness pin, "
+                            "not a resolved efficiency claim"
+                            if ci_hi >= 85
+                            else "shortfall beyond core contention — "
+                            "investigate coordination overhead"
+                        )
                     )
                 )
                 artifact["multiprocess_4"] = m4
