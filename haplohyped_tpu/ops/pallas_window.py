@@ -52,9 +52,19 @@ W_PER_PROG = 8
 #: offsets lo0/128 = bucket*8 are provably 8-aligned
 SP = 1024
 
-#: chunk length in words (two strides; [lo, lo+K) always inside)
+#: variant-chunk padding in words (kept at two strides so padded index
+#: windows always exist whatever chunk size a kernel reads)
 CHUNK = 2 * SP
-CH_R = CHUNK // 128  # chunk rows
+CH_R = CHUNK // 128  # padded chunk rows (index-build invariant)
+
+#: lo/sub chunk rows actually DMA'd: the count needs SP words ([lo0,
+#: lo0+SP) covers the true lo — every later position is >= grid[blo] >= s
+#: by the coarse-grid invariant) and the K<=128 applied variants start at
+#: lo <= lo0+SP, so SP + 128 words = 9 rows minimum; Mosaic requires
+#: 8-row-aligned copy shapes ("unsupported unaligned shape" at 10), so 16
+CH_LO_R = 16
+#: hi chunk rows: counting only, SP words suffice (8 rows, tile-aligned)
+CH_HI_R = SP // 128
 
 #: max supported window length in bytes
 L_MAX = 4080
@@ -173,6 +183,12 @@ def _window_kernel(
     sems = scr[4 * W]
 
     # --- issue every DMA up front (latencies overlap) --------------------
+    # DMA budget per window (the kernel is DMA-issue/latency-bound, see
+    # benchmarks/window_kernel_lab.json): genome window + lo/sub variant
+    # chunks always; the hi chunk ONLY when the window spans a coarse-grid
+    # bucket boundary (hi0 != lo0 — ~1% of windows at production variant
+    # densities), since with hi0 == lo0 the hi count is computable from
+    # the lo chunk.  3 transfers/window typical instead of 4.
     for i in range(W):
         b = g * W + i
         blk8 = ((flat_start_ref[b] >> 2) // SP) * 8
@@ -186,28 +202,38 @@ def _window_kernel(
         lo8 = pl.multiple_of((lo0_ref[b] // 128) // 8 * 8, 8)
         hi8 = pl.multiple_of((hi0_ref[b] // 128) // 8 * 8, 8)
         pltpu.make_async_copy(
-            vp_hbm.at[row, pl.ds(lo8, CH_R), :], chlo_scr[i], sems.at[1, i]
+            vp_hbm.at[row, pl.ds(lo8, CH_LO_R), :], chlo_scr[i], sems.at[1, i]
         ).start()
+
+        @pl.when(hi0_ref[b] != lo0_ref[b])
+        def _issue_hi(i=i, row=row, hi8=hi8):
+            pltpu.make_async_copy(
+                vp_hbm.at[row, pl.ds(hi8, CH_HI_R), :], chhi_scr[i],
+                sems.at[2, i],
+            ).start()
+
         pltpu.make_async_copy(
-            vp_hbm.at[row, pl.ds(hi8, CH_R), :], chhi_scr[i], sems.at[2, i]
-        ).start()
-        pltpu.make_async_copy(
-            sub_hbm.at[row, pl.ds(lo8, CH_R), :], sub_scr[i], sems.at[3, i]
+            sub_hbm.at[row, pl.ds(lo8, CH_LO_R), :], sub_scr[i], sems.at[3, i]
         ).start()
 
     for i in range(W):
-        row = row_ref[g * W + i]
+        b = g * W + i
+        row = row_ref[b]
         pltpu.make_async_copy(
             genome_hbm.at[pl.ds(0, GWIN // 128), :], win_scr[i], sems.at[0, i]
         ).wait()
         pltpu.make_async_copy(
-            vp_hbm.at[row, pl.ds(0, CH_R), :], chlo_scr[i], sems.at[1, i]
+            vp_hbm.at[row, pl.ds(0, CH_LO_R), :], chlo_scr[i], sems.at[1, i]
         ).wait()
+
+        @pl.when(hi0_ref[b] != lo0_ref[b])
+        def _wait_hi(i=i, row=row):
+            pltpu.make_async_copy(
+                vp_hbm.at[row, pl.ds(0, CH_HI_R), :], chhi_scr[i], sems.at[2, i]
+            ).wait()
+
         pltpu.make_async_copy(
-            vp_hbm.at[row, pl.ds(0, CH_R), :], chhi_scr[i], sems.at[2, i]
-        ).wait()
-        pltpu.make_async_copy(
-            sub_hbm.at[row, pl.ds(0, CH_R), :], sub_scr[i], sems.at[3, i]
+            sub_hbm.at[row, pl.ds(0, CH_LO_R), :], sub_scr[i], sems.at[3, i]
         ).wait()
 
     # --- per-window compute ----------------------------------------------
@@ -226,7 +252,13 @@ def _window_kernel(
         ch_lo = chlo_scr[i][...]
         ch_hi = chhi_scr[i][...]
         lo = lo0 + jnp.sum((ch_lo < s).astype(jnp.int32))
-        hi = hi0 + jnp.sum((ch_hi < s + L).astype(jnp.int32))
+        # hi from the lo chunk when both searches landed in the same
+        # bucket (the coarse-grid invariant makes every word past the
+        # true hi >= s + L, so the full-chunk count is exact); the hi
+        # chunk is only DMA'd — and only meaningful — otherwise
+        hi_same = lo0 + jnp.sum((ch_lo < s + L).astype(jnp.int32))
+        hi_cross = hi0 + jnp.sum((ch_hi < s + L).astype(jnp.int32))
+        hi = jnp.where(hi0 == lo0, hi_same, hi_cross)
         n_in = jnp.maximum(jnp.minimum(hi, count) - jnp.minimum(lo, count), 0)
         n_apply = jnp.minimum(n_in, K)
         acc_n.append(n_in)
@@ -245,7 +277,12 @@ def _window_kernel(
         )
 
         # substitution in word space: byte j of the window buffer is
-        # pos_buf = (fs & 3) + (pos - s); word pos_buf>>2, plane pos_buf&3
+        # pos_buf = (fs & 3) + (pos - s); word pos_buf>>2, plane pos_buf&3.
+        # The cross-product runs over KP = K rounded to a sublane tile
+        # (not the full 128-lane row): at the default K=64 that halves
+        # every mask op, and the applied lanes (lane_k < n_apply <= K)
+        # all live in the first KP sublanes by construction.
+        KP = min(128, max(8, -(-K // 8) * 8))
         lane_k = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         applied = lane_k < n_apply
         pos_buf = jnp.where(applied, (fs & 3) + pos_k - s, -1)  # (1, 128)
@@ -253,21 +290,29 @@ def _window_kernel(
         plane = pos_buf & 3
         prio = jnp.where(applied, lane_k + 1, 0)  # distinct per k
 
-        out_word = jax.lax.broadcasted_iota(jnp.int32, (128, OUT_W), 1)
+        # fused priority|value word: ONE masked max per plane yields both
+        # the winning k (prio in bits 16+ dominates the comparison — the
+        # same last-wins winner as a separate priority pass) and its
+        # substitution bytes (c1 in bits 15..8, c2 in 7..0; codes are
+        # 7-bit by the build-time assert), replacing the former
+        # kb/win/c1/c2 four-reduction sequence
+        combined = (prio << 16) | ((sub_k & 0xFF) << 8) | (sub_k >> 8)
+
+        out_word = jax.lax.broadcasted_iota(jnp.int32, (KP, OUT_W), 1)
         h1 = words
         h2 = words
-        wcol = jnp.broadcast_to(word_idx.reshape(128, 1), (128, OUT_W))
-        pcol = jnp.broadcast_to(plane.reshape(128, 1), (128, OUT_W))
-        kcol = jnp.broadcast_to(prio.reshape(128, 1), (128, OUT_W))
-        c1col = jnp.broadcast_to((sub_k & 0xFF).reshape(128, 1), (128, OUT_W))
-        c2col = jnp.broadcast_to((sub_k >> 8).reshape(128, 1), (128, OUT_W))
+        wcol = jnp.broadcast_to(word_idx.reshape(128, 1)[:KP], (KP, OUT_W))
+        pcol = jnp.broadcast_to(plane.reshape(128, 1)[:KP], (KP, OUT_W))
+        ccol = jnp.broadcast_to(combined.reshape(128, 1)[:KP], (KP, OUT_W))
+        # plane-invariant winner mask hoisted out of the plane loop
+        # (ccol > 0 <=> prio > 0: unapplied lanes carry combined == 0)
+        m_word = (wcol == out_word) & (ccol > 0)
         for p in range(4):
-            m = (wcol == out_word) & (pcol == p) & (kcol > 0)
-            kb = jnp.max(jnp.where(m, kcol, 0), axis=0)[None, :]  # (1, OUT_W)
-            win = m & (kcol == jnp.broadcast_to(kb, (128, OUT_W)))
-            c1 = jnp.max(jnp.where(win, c1col, 0), axis=0)[None, :]
-            c2 = jnp.max(jnp.where(win, c2col, 0), axis=0)[None, :]
+            m = m_word & (pcol == p)
+            kb = jnp.max(jnp.where(m, ccol, 0), axis=0)[None, :]  # (1, OUT_W)
             has = kb > 0
+            c1 = (kb >> 8) & 0xFF
+            c2 = kb & 0xFF
             mask = jnp.int32(0xFF) << (8 * p)
             h1 = jnp.where(has, (h1 & ~mask) | (c1 << (8 * p)), h1)
             h2 = jnp.where(has, (h2 & ~mask) | (c2 << (8 * p)), h2)
@@ -349,7 +394,9 @@ def encode_windows_pallas(
         ],
         scratch_shapes=(
             [pltpu.VMEM((GWIN // 128, 128), jnp.int32)] * w
-            + [pltpu.VMEM((CH_R, 128), jnp.int32)] * (3 * w)
+            + [pltpu.VMEM((CH_LO_R, 128), jnp.int32)] * w
+            + [pltpu.VMEM((CH_HI_R, 128), jnp.int32)] * w
+            + [pltpu.VMEM((CH_LO_R, 128), jnp.int32)] * w
             + [pltpu.SemaphoreType.DMA((4, w))]
         ),
     )

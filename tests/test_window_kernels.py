@@ -183,6 +183,64 @@ def test_empty_rows_and_overflow():
     assert_windows_equal(pal, base)
 
 
+def test_pallas_bucket_boundary_crossing():
+    """Windows whose variant span crosses a coarse-grid bucket boundary
+    (hi0 != lo0) take the Pallas kernel's conditional hi-chunk DMA path;
+    same-bucket windows take the hi-from-lo-chunk count.  Both must stay
+    bit-equal to the baseline kernel (pins the round-5 DMA-reduction
+    rework: 3 transfers/window typical, 4 only on a crossing)."""
+    L, K = 512, 64
+    rng = np.random.default_rng(11)
+    chrom_lens = (8192,)
+    genome = rng.integers(0, 5, size=8192, dtype=np.int8)
+    offsets = np.zeros(1, np.int32)
+    V = 4096
+    D, C = 1, 1
+    pos = np.full((D, C, V), INT32_MAX, np.int32)
+    ref = np.zeros((D, C, V), np.int8)
+    alt = np.zeros((D, C, V), np.int8)
+    p1 = np.zeros((D, C, V), np.int8)
+    p2 = np.zeros((D, C, V), np.int8)
+    counts = np.zeros((D, C), np.int32)
+    # every other base a variant: index 1024 (the SP bucket boundary)
+    # sits at position 2048, so windows near position 2048 - L/2 span it
+    n = 4096
+    p = np.arange(n, dtype=np.int32) * 2
+    pos[0, 0, :n] = p
+    ref[0, 0, :n] = genome[p]
+    alt[0, 0, :n] = (genome[p] + 1) % 5
+    p1[0, 0, :n] = rng.integers(0, 2, n)
+    p2[0, 0, :n] = rng.integers(0, 2, n)
+    counts[0, 0] = n
+
+    # starts straddling the index-1024 (pos 2048), 2048 (pos 4096), and
+    # 3072 (pos 6144) boundaries, plus same-bucket controls
+    st = np.array(
+        [2048 - L // 2, 4096 - L // 2, 6144 - L // 2, 2048 - 1,
+         0, 100, 3000, 7000, 2048 - L, 4095, 6600, 1, 5000, 1500, 300, 2500],
+        np.int32,
+    )
+    di = np.zeros(16, np.int32)
+    ci = np.zeros(16, np.int32)
+
+    base = encode_haplotype_windows(
+        jnp.asarray(genome), jnp.asarray(offsets),
+        jnp.asarray(pos), jnp.asarray(ref), jnp.asarray(alt),
+        jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(counts),
+        jnp.asarray(di), jnp.asarray(ci), jnp.asarray(st), L=L, K=K,
+    )
+    pidx = build_pallas_window_index(genome, pos, ref, alt, p1, p2, counts)
+    pal = encode_windows_pallas(
+        pidx, jnp.asarray(offsets), jnp.asarray(di), jnp.asarray(ci),
+        jnp.asarray(st), L=L, K=K, interpret=True,
+    )
+    assert_windows_equal(pal, base)
+    # sanity: the fixture really does cross buckets (lo//SP != (hi-1)//SP
+    # for the straddling starts)
+    nv = np.asarray(base.n_variants)
+    assert nv[0] == L // 2  # every other base in [s, s+L)
+
+
 def test_sampler_identical_across_kernels():
     """DeviceHaplotypeSampler emits bit-identical batches whichever kernel
     SamplerConfig.window_kernel selects (pallas runs interpret on CPU)."""
