@@ -45,8 +45,11 @@ from jax.experimental.pallas import tpu as pltpu
 from haplohyped_tpu.ops.haplotype_window import HaplotypeWindows
 
 #: windows per Pallas program — DMAs for all W windows are issued together
-#: so their latencies overlap; compute is vectorized VPU work
-W_PER_PROG = 8
+#: so their latencies overlap; compute is vectorized VPU work.  32 measured
+#: ~12% faster than 8 on v5e (benchmarks/window_kernel_lab.json) now that
+#: the merged-chunk scratch fits; callers with smaller batches fall back
+#: to the largest feasible divisor automatically.
+W_PER_PROG = 32
 
 #: coarse-search stride — one (8, 128) int32 tile, so chunk DMA sublane
 #: offsets lo0/128 = bucket*8 are provably 8-aligned
@@ -86,8 +89,13 @@ class PallasWindowIndex(NamedTuple):
     """Device tensors for :func:`encode_windows_pallas` (build once)."""
 
     genome_words: jax.Array  # (Gr, 128) int32 — genome bytes packed LE
-    vp_pad: jax.Array  # (DC, Vr, 128) int32 — positions, INT32_MAX padded
-    sub_pad: jax.Array  # (DC, Vr, 128) int32 — sub1 | sub2 << 8, 0 padded
+    #: (DC, 2*Vr, 128) int32 — positions and substitution words ROW-
+    #: INTERLEAVED (row 2r = positions row r, INT32_MAX padded; row 2r+1 =
+    #: (sub1 | sub2 << 8) + INT32_MIN for the same variants).  One DMA of
+    #: rows [2*lo8, 2*lo8 + 2*CH_LO_R) fetches positions AND substitutions
+    #: together, and the bias makes every sub element negative so the
+    #: in-window count over the raw block is (true count + a constant).
+    vs_pad: jax.Array
     grid: jax.Array  # (DC, Vg) int32 — positions[::SP]
     counts: jax.Array  # (DC,) int32
 
@@ -124,25 +132,42 @@ def build_pallas_window_index(
     sub = np.zeros((D * C, Vp), np.int32)
     sub[:, :V] = ((sub1 & 0xFF) | (sub2 << 8)).reshape(D * C, V)
     grid = np.ascontiguousarray(vp[:, :V][:, ::SP])
+    # row-interleave positions and BIASED substitution words (one DMA
+    # fetches both; the bias keeps counting exact — see PallasWindowIndex)
+    vp3 = vp.reshape(D * C, Vp // 128, 128)
+    sub3 = (sub.astype(np.int64) + np.int64(np.iinfo(np.int32).min)).astype(
+        np.int32
+    ).reshape(D * C, Vp // 128, 128)
+    vs = np.stack([vp3, sub3], axis=2).reshape(D * C, 2 * (Vp // 128), 128)
     return PallasWindowIndex(
         genome_words=jnp.asarray(np.ascontiguousarray(words)),
-        vp_pad=jnp.asarray(vp.reshape(D * C, Vp // 128, 128)),
-        sub_pad=jnp.asarray(sub.reshape(D * C, Vp // 128, 128)),
+        vs_pad=jnp.asarray(np.ascontiguousarray(vs)),
         grid=jnp.asarray(grid),
         counts=jnp.asarray(var_counts.reshape(D * C).astype(np.int32)),
     )
 
 
-def _flat_take(x: jax.Array, shift: jax.Array, out_rows: int) -> jax.Array:
+def _flat_take(
+    x: jax.Array,
+    shift: jax.Array,
+    out_rows: int,
+    row_step: int = 1,
+    row_off: int = 0,
+) -> jax.Array:
     """Read ``out_rows * 128`` consecutive elements starting at dynamic
     flat offset ``shift`` from an (R, 128) row-major block, via dynamic
-    sublane + lane rolls and a lane select.  Caller guarantees
-    ``shift + out_rows * 128 <= R * 128``."""
+    sublane + lane rolls and a lane select.  ``row_step=2, row_off=p``
+    reads from a row-interleaved block (element i lives at row
+    ``2*(i//128) + p``, lane ``i%128`` — the vs_pad layout); only
+    ``out_rows == 1`` is supported there.  Caller guarantees the last
+    element read stays inside the block."""
+    if row_step != 1 and out_rows != 1:
+        raise ValueError("strided take supports a single output row")
     R = x.shape[0]
     lr = shift % 128
-    sr = shift // 128
+    sr = (shift // 128) * row_step + row_off
     a = pltpu.roll(x, (R - sr) % R, axis=0)  # rows left-shifted by sr
-    b = pltpu.roll(x, (R - sr - 1) % R, axis=0)
+    b = pltpu.roll(x, (R - sr - row_step) % R, axis=0)
     ar = pltpu.roll(a, (128 - lr) % 128, axis=1)  # lanes left-shifted by lr
     br = pltpu.roll(b, (128 - lr) % 128, axis=1)
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
@@ -160,14 +185,13 @@ def _window_kernel(
     hi0_ref,  # (B,) int32 — SP-aligned chunk base for the hi search
     # inputs (HBM)
     genome_hbm,  # (Gr, 128) int32
-    vp_hbm,  # (DC, Vr, 128) int32
-    sub_hbm,  # (DC, Vr, 128) int32
+    vs_hbm,  # (DC, 2*Vr, 128) int32 — row-interleaved positions|subs
     # outputs (VMEM blocks)
     hap1_ref,  # (W, OUT_W) int32 — word-space windows
     hap2_ref,  # (W, OUT_W) int32
     nvar_ref,  # (1, 8, 128) int32 — lanes [:W] of row 0
     ovf_ref,  # (1, 8, 128) int32
-    # scratch: W genome + W chlo + W chhi + W sub buffers, then sems
+    # scratch: W genome + W interleaved-chunk + W hi-chunk buffers, sems
     *scr,
     L: int,
     K: int,
@@ -177,18 +201,18 @@ def _window_kernel(
 ):
     g = pl.program_id(0)
     win_scr = scr[0:W]  # each (GWIN//128, 128)
-    chlo_scr = scr[W : 2 * W]  # each (CH_R, 128)
-    chhi_scr = scr[2 * W : 3 * W]
-    sub_scr = scr[3 * W : 4 * W]
-    sems = scr[4 * W]
+    chv_scr = scr[W : 2 * W]  # each (2*CH_LO_R, 128) interleaved pos|sub
+    chhi_scr = scr[2 * W : 3 * W]  # each (2*CH_HI_R, 128)
+    sems = scr[3 * W]
 
     # --- issue every DMA up front (latencies overlap) --------------------
     # DMA budget per window (the kernel is DMA-issue/latency-bound, see
-    # benchmarks/window_kernel_lab.json): genome window + lo/sub variant
-    # chunks always; the hi chunk ONLY when the window spans a coarse-grid
-    # bucket boundary (hi0 != lo0 — ~1% of windows at production variant
-    # densities), since with hi0 == lo0 the hi count is computable from
-    # the lo chunk.  3 transfers/window typical instead of 4.
+    # benchmarks/window_kernel_lab.json): ONE genome window + ONE
+    # interleaved positions|subs chunk always; a second variant chunk ONLY
+    # when the window spans a coarse-grid bucket boundary (hi0 != lo0 —
+    # ~1% of windows at production variant densities), since with
+    # hi0 == lo0 the hi count is computable from the lo chunk.  2
+    # transfers/window typical (was 4 in round 4).
     for i in range(W):
         b = g * W + i
         blk8 = ((flat_start_ref[b] >> 2) // SP) * 8
@@ -199,22 +223,19 @@ def _window_kernel(
             sems.at[0, i],
         ).start()
         row = row_ref[b]
-        lo8 = pl.multiple_of((lo0_ref[b] // 128) // 8 * 8, 8)
-        hi8 = pl.multiple_of((hi0_ref[b] // 128) // 8 * 8, 8)
+        lo16 = pl.multiple_of((lo0_ref[b] // 128) // 8 * 16, 16)
+        hi16 = pl.multiple_of((hi0_ref[b] // 128) // 8 * 16, 16)
         pltpu.make_async_copy(
-            vp_hbm.at[row, pl.ds(lo8, CH_LO_R), :], chlo_scr[i], sems.at[1, i]
+            vs_hbm.at[row, pl.ds(lo16, 2 * CH_LO_R), :], chv_scr[i],
+            sems.at[1, i],
         ).start()
 
         @pl.when(hi0_ref[b] != lo0_ref[b])
-        def _issue_hi(i=i, row=row, hi8=hi8):
+        def _issue_hi(i=i, row=row, hi16=hi16):
             pltpu.make_async_copy(
-                vp_hbm.at[row, pl.ds(hi8, CH_HI_R), :], chhi_scr[i],
+                vs_hbm.at[row, pl.ds(hi16, 2 * CH_HI_R), :], chhi_scr[i],
                 sems.at[2, i],
             ).start()
-
-        pltpu.make_async_copy(
-            sub_hbm.at[row, pl.ds(lo8, CH_LO_R), :], sub_scr[i], sems.at[3, i]
-        ).start()
 
     for i in range(W):
         b = g * W + i
@@ -223,18 +244,15 @@ def _window_kernel(
             genome_hbm.at[pl.ds(0, GWIN // 128), :], win_scr[i], sems.at[0, i]
         ).wait()
         pltpu.make_async_copy(
-            vp_hbm.at[row, pl.ds(0, CH_LO_R), :], chlo_scr[i], sems.at[1, i]
+            vs_hbm.at[row, pl.ds(0, 2 * CH_LO_R), :], chv_scr[i], sems.at[1, i]
         ).wait()
 
         @pl.when(hi0_ref[b] != lo0_ref[b])
         def _wait_hi(i=i, row=row):
             pltpu.make_async_copy(
-                vp_hbm.at[row, pl.ds(0, CH_HI_R), :], chhi_scr[i], sems.at[2, i]
+                vs_hbm.at[row, pl.ds(0, 2 * CH_HI_R), :], chhi_scr[i],
+                sems.at[2, i],
             ).wait()
-
-        pltpu.make_async_copy(
-            sub_hbm.at[row, pl.ds(0, CH_LO_R), :], sub_scr[i], sems.at[3, i]
-        ).wait()
 
     # --- per-window compute ----------------------------------------------
     acc_n = []
@@ -249,25 +267,33 @@ def _window_kernel(
         lo0 = lo0_ref[b]
         hi0 = hi0_ref[b]
 
-        ch_lo = chlo_scr[i][...]
+        ch = chv_scr[i][...]  # (2*CH_LO_R, 128) interleaved pos|sub
         ch_hi = chhi_scr[i][...]
-        lo = lo0 + jnp.sum((ch_lo < s).astype(jnp.int32))
+        # counts run over the RAW interleaved block: every biased sub
+        # element is negative, hence always < s (s >= 0), so it adds a
+        # constant CH_LO_R*128 that is subtracted back out
+        lo = lo0 + jnp.sum((ch < s).astype(jnp.int32)) - CH_LO_R * 128
         # hi from the lo chunk when both searches landed in the same
         # bucket (the coarse-grid invariant makes every word past the
         # true hi >= s + L, so the full-chunk count is exact); the hi
         # chunk is only DMA'd — and only meaningful — otherwise
-        hi_same = lo0 + jnp.sum((ch_lo < s + L).astype(jnp.int32))
-        hi_cross = hi0 + jnp.sum((ch_hi < s + L).astype(jnp.int32))
+        hi_same = lo0 + jnp.sum((ch < s + L).astype(jnp.int32)) - CH_LO_R * 128
+        hi_cross = (
+            hi0 + jnp.sum((ch_hi < s + L).astype(jnp.int32)) - CH_HI_R * 128
+        )
         hi = jnp.where(hi0 == lo0, hi_same, hi_cross)
         n_in = jnp.maximum(jnp.minimum(hi, count) - jnp.minimum(lo, count), 0)
         n_apply = jnp.minimum(n_in, K)
         acc_n.append(n_in)
         acc_o.append(jnp.maximum(n_in - K, 0))
 
-        # K applied variants: flat-roll the chunks to offset lo - lo0
+        # K applied variants: strided flat-roll of the interleaved chunk
+        # (positions on even rows, biased subs on odd)
         delta = lo - lo0
-        pos_k = _flat_take(ch_lo, delta, 1)  # (1, 128) int32
-        sub_k = _flat_take(sub_scr[i][...], delta, 1)
+        pos_k = _flat_take(ch, delta, 1, row_step=2, row_off=0)  # (1, 128)
+        sub_k = _flat_take(ch, delta, 1, row_step=2, row_off=1) ^ jnp.int32(
+            -(2**31)
+        )
 
         # genome word window [fs>>2, +OUT_W); the residual byte shift
         # r4 = fs & 3 is applied OUTSIDE in XLA after byte unpack
@@ -345,15 +371,18 @@ def encode_windows_pallas(
 ) -> HaplotypeWindows:
     """Bit-equal Pallas twin of ``encode_haplotype_windows`` (TPU path)."""
     B = start.shape[0]
-    if B % w:
-        raise ValueError(f"batch size must be a multiple of {w}")
     if not 1 <= w <= 128:
         raise ValueError("w (windows/program) must be in [1, 128]")
+    # largest feasible windows-per-program <= requested (static fallback
+    # so small or odd batch sizes keep working at the w=32 default)
+    w = min(w, B)
+    while B % w:
+        w -= 1
     if K > 128:
         raise ValueError("K > 128 exceeds the kernel's chunk padding")
     if L > L_MAX:
         raise ValueError(f"L > {L_MAX} exceeds the genome word window")
-    DC = index.vp_pad.shape[0]
+    DC = index.vs_pad.shape[0]
     C = chrom_offsets.shape[0]
     OUT_W = _out_words(L)
     GWIN = _gwin(L)
@@ -383,8 +412,7 @@ def encode_windows_pallas(
         grid=(B // w,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # genome words
-            pl.BlockSpec(memory_space=pl.ANY),  # vp
-            pl.BlockSpec(memory_space=pl.ANY),  # sub
+            pl.BlockSpec(memory_space=pl.ANY),  # interleaved pos|sub
         ],
         out_specs=[
             pl.BlockSpec((w, OUT_W), lambda g, *_: (g, 0)),
@@ -394,10 +422,9 @@ def encode_windows_pallas(
         ],
         scratch_shapes=(
             [pltpu.VMEM((GWIN // 128, 128), jnp.int32)] * w
-            + [pltpu.VMEM((CH_LO_R, 128), jnp.int32)] * w
-            + [pltpu.VMEM((CH_HI_R, 128), jnp.int32)] * w
-            + [pltpu.VMEM((CH_LO_R, 128), jnp.int32)] * w
-            + [pltpu.SemaphoreType.DMA((4, w))]
+            + [pltpu.VMEM((2 * CH_LO_R, 128), jnp.int32)] * w
+            + [pltpu.VMEM((2 * CH_HI_R, 128), jnp.int32)] * w
+            + [pltpu.SemaphoreType.DMA((3, w))]
         ),
     )
     kernel = functools.partial(
@@ -421,8 +448,7 @@ def encode_windows_pallas(
         lo0.astype(jnp.int32),
         hi0.astype(jnp.int32),
         index.genome_words,
-        index.vp_pad,
-        index.sub_pad,
+        index.vs_pad,
     )
 
     # word -> byte unpack + residual 0..3 byte shift (pure elementwise)

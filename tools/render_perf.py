@@ -279,8 +279,10 @@ ROOFLINE_EXPLAIN = {
     "XLA cannot coalesce across the batch",
     "windows/fast": "word-gather amortizes 4 codes per load; remaining "
     "gap is gather latency, not bandwidth",
-    "windows/pallas": "double-buffered DMA kernel; gap to peak is the "
-    "per-window descriptor setup for arbitrary window starts",
+    "windows/pallas": "2 random-access DMAs per window (genome span + "
+    "interleaved pos|sub chunk; a 3rd only on a bucket crossing); the "
+    "gap to peak is per-transfer issue+latency, not bandwidth — see the "
+    "latency-floor analysis in ARCHITECTURE",
 }
 
 

@@ -38,7 +38,15 @@ def log(msg: str) -> None:
 
 
 def build_fixture():
-    """Sampler-scale fixture: 10 Mb genome, 8 donors x 100K variants."""
+    """Sampler-scale fixture: 10 Mb genome, 8 donors x 100K variants.
+
+    Returns (index, legacy, Lc, D) where ``legacy`` is a dict with the
+    r4-era separate vp_pad/sub_pad arrays — the lab's dma_only /
+    compute_only variants profile that 4-DMA design (the baseline the
+    round-5 rework was measured against), while prod_* rows run the
+    current production kernel via the live PallasWindowIndex."""
+    import jax.numpy as jnp
+
     rng = np.random.default_rng(1)
     Lc = 10_000_000
     genome = rng.integers(0, 4, size=Lc).astype(np.int8)
@@ -51,9 +59,23 @@ def build_fixture():
     p1 = rng.integers(0, 2, size=(D, C, V)).astype(np.int32)
     p2 = rng.integers(0, 2, size=(D, C, V)).astype(np.int32)
     counts = np.full((D, C), V, np.int32)
-    from haplohyped_tpu.ops.pallas_window import build_pallas_window_index
+    from haplohyped_tpu.ops.pallas_window import SP, build_pallas_window_index
 
-    return build_pallas_window_index(genome, pos, ref, alt, p1, p2, counts), Lc, D
+    index = build_pallas_window_index(genome, pos, ref, alt, p1, p2, counts)
+    # r4-era separate padded arrays for the legacy lab variants
+    imax = np.iinfo(np.int32).max
+    Vp = -(-V // SP) * SP + 2 * SP
+    vp = np.full((D * C, Vp), imax, np.int32)
+    vp[:, :V] = pos.reshape(D * C, V)
+    sub1 = np.where(p1 == 1, alt, ref).astype(np.int32)
+    sub2 = np.where(p2 == 1, alt, ref).astype(np.int32)
+    sub = np.zeros((D * C, Vp), np.int32)
+    sub[:, :V] = ((sub1 & 0xFF) | (sub2 << 8)).reshape(D * C, V)
+    legacy = {
+        "vp_pad": jnp.asarray(vp.reshape(D * C, Vp // 128, 128)),
+        "sub_pad": jnp.asarray(sub.reshape(D * C, Vp // 128, 128)),
+    }
+    return index, legacy, Lc, D
 
 
 def make_chained(call, idx, offs, Lc, D, B, L, n_chain):
@@ -237,7 +259,7 @@ def lab_kernel_variant(do_dma: bool, do_compute: bool):
     return kernel
 
 
-def make_variant_call(do_dma: bool, do_compute: bool, w: int, L: int, K: int):
+def make_variant_call(do_dma: bool, do_compute: bool, w: int, L: int, K: int, legacy=None):
     """encode_windows_pallas clone wired to the lab kernel variant."""
     import jax
     import jax.numpy as jnp
@@ -257,7 +279,7 @@ def make_variant_call(do_dma: bool, do_compute: bool, w: int, L: int, K: int):
     @jax.jit
     def call(index, chrom_offsets, donor_idx, chrom_idx, start):
         B = start.shape[0]
-        DC = index.vp_pad.shape[0]
+        DC = legacy["vp_pad"].shape[0]
         C = chrom_offsets.shape[0]
         c_iota = jnp.arange(C, dtype=jnp.int32)
         off_sel = jnp.sum(
@@ -308,7 +330,7 @@ def make_variant_call(do_dma: bool, do_compute: bool, w: int, L: int, K: int):
             flat_start, start.astype(jnp.int32), row,
             count_sel.astype(jnp.int32), lo0.astype(jnp.int32),
             hi0.astype(jnp.int32),
-            index.genome_words, index.vp_pad, index.sub_pad,
+            index.genome_words, legacy["vp_pad"], legacy["sub_pad"],
         )
 
         def unpack(wrd):
@@ -337,7 +359,7 @@ def main() -> None:
 
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")
-    idx, Lc, D = build_fixture()
+    idx, legacy, Lc, D = build_fixture()
     offs = np.zeros((1,), np.int32)
     B, L, K = 2048, 1000, 64
     n_chain = 16
@@ -362,7 +384,7 @@ def main() -> None:
         ("compute_only_w32", False, True, 32),
     ):
         try:
-            call = make_variant_call(dma, comp, w, L, K)
+            call = make_variant_call(dma, comp, w, L, K, legacy=legacy)
             results.append(measure(name, call, idx, offs, Lc, D, B, L, n_chain))
         except Exception as exc:
             log(f"  {name} failed: {exc}")
