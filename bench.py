@@ -1304,8 +1304,12 @@ def _train_flops_per_step(fused, state, n_params: int, B: int, T: int) -> tuple[
         # dress rehearsal, hence the time guard.
         lowered = fused.lower(state, jnp.int32(0))
         ca = lowered.cost_analysis()
-        if ca is None and stage_time_left() > 30:
+        if ca is None and stage_time_left() > 10:
+            # the fused step just executed, so this compile is a
+            # persistent-cache hit (measured <1s warm)
             ca = lowered.compile().cost_analysis()
+        elif ca is None:
+            log("cost_analysis skipped (stage cap imminent); analytic 6ND")
         if isinstance(ca, (list, tuple)):
             ca = ca[0] if ca else {}
         flops = float((ca or {}).get("flops", 0.0))
