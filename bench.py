@@ -88,6 +88,10 @@ N_ITERS = int(os.environ.get("HH_BENCH_ITERS", 10))
 #: cap even on a stage that never checks.
 _STAGE = {"deadline": float("inf")}
 
+#: cross-stage hints (e.g. the windows stage marks the relay's slow-
+#: per-dispatch mood so the shoot-out that follows right sizes itself)
+_HINTS: dict = {}
+
 
 def stage_time_left() -> float:
     return _STAGE["deadline"] - time.time()
@@ -1060,6 +1064,10 @@ def bench_windows(materialize: bool = False) -> dict:
             probe = _time_sampler(
                 sampler, nb, 1, key_offset=20_000, materialize=materialize
             )[0]
+            # flag the relay's slow-per-dispatch mood for later stages
+            # (>=10x the healthy fused-call cost at this batch count)
+            if not emit_onehot:
+                _HINTS["slow_dispatch"] = probe > max(1.0, nb / 2048)
             # two modes share this stage's deadline budget (r4 #1)
             budget = min(30.0, max(6.0, stage_time_left() * 0.45))
             it = iters if probe * iters <= budget else max(3, int(budget / max(probe, 1e-9)))
@@ -1124,6 +1132,15 @@ def bench_window_kernels(materialize: bool = False) -> dict:
     n_batches, iters = (
         (4, 3) if on_cpu else (int(os.environ.get("HH_BENCH_WINDOW_NB", 2048)), N_ITERS)
     )
+    if not on_cpu and _HINTS.get("slow_dispatch"):
+        # the windows stage just measured the relay in its slow-per-
+        # dispatch mood: a 2048-batch fused call costs seconds there, so
+        # the full paired design would blow the stage cap before round 2.
+        # 256 batches keep rounds ~8x cheaper at the cost of a bit more
+        # dispatch overhead in the medians (the chained stage carries the
+        # kernel-truth number either way).
+        n_batches = min(n_batches, 256)
+        log("window kernels: slow-dispatch hint from windows stage; nb=256")
 
     out = {}
     kernels = ["baseline", "fast"] if on_cpu else ["baseline", "fast", "pallas"]
