@@ -1903,10 +1903,11 @@ def main() -> None:
     # provisioning for the whole-genome stage's ~400 MB working set)
     # behind the minutes of stages that run before it
     prefault_arena(512 << 20)
-    # 2x oversubscription hides chunk imbalance + page-fault stalls in the
-    # native framer (measured: 0.252s at 4 threads vs 0.317s at 2 on a
-    # 2-core host)
-    threads = max(4, 2 * (os.cpu_count() or 1))
+    # 3x oversubscription hides chunk imbalance + page-fault stalls in the
+    # native framer (r5 sweep on the 2-core host: 0.356s at 2 threads,
+    # 0.264s at 4, 0.228s at 6, plateau ~0.22s beyond — the extra threads
+    # absorb inflate/scan stalls, not cores)
+    threads = max(6, 3 * (os.cpu_count() or 1))
     vcf, sample = ensure_corpus()
     budget = float(os.environ.get("HH_BENCH_BUDGET_S", 480))
     # 0.8x: the orchestrator hands each worker a budget equal to its own

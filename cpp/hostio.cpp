@@ -33,6 +33,21 @@ using namespace hh;
 
 namespace {
 
+/* Short-field separator scan: VCF's fixed fields (CHROM..FORMAT) and
+ * per-sample GT columns are a handful of bytes, where glibc memchr's
+ * call + vector-setup overhead (~15 ns) dominates the scan itself —
+ * measured ~10% of the whole frame_v2 pass at 9 hops/line.  A tight
+ * byte loop covers the first 24 bytes; anything longer (rare wide INFO
+ * fields) falls back to SIMD memchr.  Semantics identical to
+ * memchr(p, c, n). */
+static inline const uint8_t *find_sep(const uint8_t *p, size_t n, uint8_t c) {
+    size_t lim = n < 24 ? n : 24;
+    for (size_t i = 0; i < lim; i++)
+        if (p[i] == c) return p + i;
+    if (n > 24) return (const uint8_t *)memchr(p + 24, c, n - 24);
+    return nullptr;
+}
+
 constexpr size_t kRecSize = 64;
 constexpr size_t kRec12 = 12;
 constexpr size_t kRec12ChromIdOff = 9; /* keep in sync with pack_rec12 */
@@ -179,23 +194,23 @@ inline bool locate_line(const uint8_t *line, size_t len, const Region &region,
         int cur = 9;
         if (field < 9) return false;
         while (cur < 9 + sample_col && sp < len) {
-            const uint8_t *tab = (const uint8_t *)memchr(line + sp, '\t', len - sp);
+            const uint8_t *tab = find_sep(line + sp, len - sp, '\t');
             if (!tab) break;
             sp = (size_t)(tab - line) + 1;
             cur++;
         }
         if (cur == 9 + sample_col && sp <= len) {
-            const uint8_t *tab = (const uint8_t *)memchr(line + sp, '\t', len - sp);
+            const uint8_t *tab = find_sep(line + sp, len - sp, '\t');
             size_t fend = tab ? (size_t)(tab - line) : len;
             /* select the gt_subfield-th ':'-separated subfield */
             size_t gs = sp;
             for (int k = 0; k < gt_subfield && gs < fend; k++) {
-                const uint8_t *col = (const uint8_t *)memchr(line + gs, ':', fend - gs);
+                const uint8_t *col = find_sep(line + gs, fend - gs, ':');
                 if (!col) { gs = fend; break; }
                 gs = (size_t)(col - line) + 1;
             }
             if (gs < fend) {
-                const uint8_t *col = (const uint8_t *)memchr(line + gs, ':', fend - gs);
+                const uint8_t *col = find_sep(line + gs, fend - gs, ':');
                 size_t gend = col ? (size_t)(col - line) : fend;
                 lf.gt_start = gs;
                 lf.gt_len = gend - gs;
@@ -578,14 +593,14 @@ void frame_range_v2(const std::vector<uint8_t> &text, size_t lo, size_t hi,
         }
         out.total_seen++;
 
-        /* --- locate fields 0..8 via memchr hops (SIMD tab scan) ----- */
+        /* --- locate fields 0..8 via short-scan hops (find_sep) ------ */
         size_t fstart[9], flen[9];
         size_t start = 0;
         int field = 0;
         while (field < 9) {
-            const uint8_t *tab = start < len
-                ? (const uint8_t *)memchr(line + start, '\t', len - start)
-                : nullptr;
+            const uint8_t *tab =
+                start < len ? find_sep(line + start, len - start, '\t')
+                            : nullptr;
             fstart[field] = start;
             flen[field] = tab ? (size_t)(tab - line) - start : len - start;
             field++;
@@ -663,8 +678,7 @@ void frame_range_v2(const std::vector<uint8_t> &text, size_t lo, size_t hi,
             const size_t n_cols =
                 max_col >= 0 ? (size_t)max_col + 1 : col_to_slot.size();
             while (col < n_cols && sp <= len) {
-                const uint8_t *tab =
-                    (const uint8_t *)memchr(line + sp, '\t', len - sp);
+                const uint8_t *tab = find_sep(line + sp, len - sp, '\t');
                 size_t fend = tab ? (size_t)(tab - line) : len;
                 int slot = col_to_slot[col];
                 if (slot >= 0) {
@@ -672,8 +686,7 @@ void frame_range_v2(const std::vector<uint8_t> &text, size_t lo, size_t hi,
                     size_t gs = sp;
                     bool found = true;
                     for (int k = 0; k < gt_idx; k++) {
-                        const uint8_t *c =
-                            (const uint8_t *)memchr(line + gs, ':', fend - gs);
+                        const uint8_t *c = find_sep(line + gs, fend - gs, ':');
                         if (!c) {
                             found = false;
                             break;
@@ -681,8 +694,7 @@ void frame_range_v2(const std::vector<uint8_t> &text, size_t lo, size_t hi,
                         gs = (size_t)(c - line) + 1;
                     }
                     if (found && gs < fend) {
-                        const uint8_t *c =
-                            (const uint8_t *)memchr(line + gs, ':', fend - gs);
+                        const uint8_t *c = find_sep(line + gs, fend - gs, ':');
                         size_t gend = c ? (size_t)(c - line) : fend;
                         size_t gl = gend - gs;
                         uint8_t g = 0x40; /* HAS_GT */
